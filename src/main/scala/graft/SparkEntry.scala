@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Corpus, SourceFile}
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2, run against
+  * the driver-provided parquet tables under `sfDir` (TESTDATA.md).
+  * Every SQL-expressible entry has a DuckDB oracle in [[oracleSql]]
+  * producing identical column names (the driver hash-compares after
+  * sorting columns by name). Non-relational kernels (Viterbi decode,
+  * greedy post-processing) are rows-only entries.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: end-to-end mention
+    * detection over the documents-derived corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val corpus = Corpus.fromDocuments(spark, "/root/testdata/sf0.001")
+      .as[SourceFile]
+    Pipeline.mentions(corpus).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,224 @@
+package graft.crf
+
+import graft.core.{Dict, Sentence, TaggedSentence}
+import graft.features.Features
+import org.apache.spark.sql.Dataset
+
+/** Linear-CRF scoring + BIO-constrained Viterbi decoding.
+  *
+  * Re-derivation of the reference's CRF decode path (SURVEY.md §2.8,
+  * §7.3): emission scores are a linear model over the discrete feature
+  * templates (replacing the BiLSTM — models/decoders.py:121-154), the
+  * transition matrix carries the reference's exact virtual-tag and BIO
+  * constraint structure (models/decoders.py:17-25, 48-58;
+  * models/model_builder.py:13-22), and decoding replicates
+  * models/decoders.py:156-196 including the START-init values, the
+  * virtual-tag exclusion ([:-2] slices) and numpy's first-max argmax
+  * tie-break (lowest tag id wins).
+  */
+object Crf {
+
+  val K: Int = Dict.K          // 9 real tags, lexicographic ids
+  val START: Int = K           // virtual (decoders.py:48-58)
+  val END: Int = K + 1
+  val WALL = -1000f            // constraint value (decoders.py:17-25)
+  val NEG = -2000f             // non-START init (decoders.py:168-170)
+
+  /** Emission weight matrix W(tag)(feature), K × 24. Deterministic
+    * constants playing the role of re-derived log-odds (SURVEY.md §7.3):
+    * gazetteer B/I indicators dominate, o_gaz carries the O prior
+    * (magnitudes ∝ the CoNLL-03 train tag distribution in BASELINE.md —
+    * O is ~25× any B tag), head/title/shape features contribute
+    * sub-dominant evidence. */
+  lazy val emissionWeights: Array[Array[Float]] = {
+    val w = Array.fill(K, Features.numFeatures)(0f)
+    var t = 0
+    while (t < Dict.entityTypes.size) {
+      val x = Dict.entityTypes(t)
+      w(Dict.tagId(s"B-$x"))(Features.B_GAZ + t) = 8f
+      w(Dict.tagId(s"I-$x"))(Features.I_GAZ + t) = 8f
+      t += 1
+    }
+    w(Dict.O)(Features.O_GAZ) = 4f
+    w(Dict.tagId("B-PER"))(Features.TITLE) = 1f
+    w(Dict.tagId("I-ORG"))(Features.HEAD_ORG) = 1f
+    w(Dict.tagId("I-LOC"))(Features.HEAD_LOC) = 1f
+    w(Dict.tagId("I-GPE"))(Features.HEAD_GPE) = 1f
+    for (x <- Dict.entityTypes) {
+      w(Dict.tagId(s"B-$x"))(Features.CAPITALIZED) = 0.25f
+      w(Dict.tagId(s"I-$x"))(Features.CAPITALIZED) = 0.25f
+    }
+    w
+  }
+
+  /** (K+2)² transition matrix T(from)(to). Structure exactly as
+    * decoders.py:48-58 (column START and row END walled) with the BIO
+    * constraint set of model_builder.py:13-22 / decoders.py:17-25
+    * (O→I-*, START→I-*, B-X→I-Y, I-X→I-Y all walled); legal weights are
+    * log-bigram-frequency-shaped constants from the BASELINE.md train
+    * tag distribution. */
+  lazy val transitions: Array[Array[Float]] = {
+    val m = Array.fill(K + 2, K + 2)(0f)
+    val tid = Dict.tagId
+    // legal-path priors
+    for (from <- 0 until K + 2; to <- 0 until K + 2) {
+      m(from)(to) = 0f
+    }
+    m(Dict.O)(Dict.O) = 2f
+    for (x <- Dict.entityTypes) {
+      m(tid(s"B-$x"))(tid(s"I-$x")) = 1.5f
+      m(tid(s"I-$x"))(tid(s"I-$x")) = 0.7f
+      m(tid(s"B-$x"))(Dict.O) = 1f
+      m(tid(s"I-$x"))(Dict.O) = 1f
+    }
+    m(START)(Dict.O) = 1f
+    // walls
+    for (from <- 0 until K + 2) m(from)(START) = WALL
+    for (to <- 0 until K + 2) m(END)(to) = WALL
+    for (x <- Dict.entityTypes) {
+      val iTag = tid(s"I-$x")
+      m(Dict.O)(iTag) = WALL
+      m(START)(iTag) = WALL
+      for (y <- Dict.entityTypes if y != x) {
+        m(tid(s"B-$y"))(iTag) = WALL
+        m(tid(s"I-$y"))(iTag) = WALL
+      }
+    }
+    m
+  }
+
+  /** Emission score of one token from its feature bitmask. */
+  def emit(mask: Int, w: Array[Array[Float]]): Array[Float] = {
+    val out = new Array[Float](K)
+    var t = 0
+    while (t < K) {
+      var s = 0f
+      var m = mask
+      while (m != 0) {
+        val f = java.lang.Integer.numberOfTrailingZeros(m)
+        s += w(t)(f)
+        m &= m - 1
+      }
+      out(t) = s
+      t += 1
+    }
+    out
+  }
+
+  /** Viterbi decode over per-token emission vectors (length K each).
+    * Exact semantics of decoders.py:156-196: init START=0 / else −2000;
+    * DP over all K+2 source tags; real tags only as targets; first-max
+    * argmax; terminal step adds T(·, END). Returns tag ids. */
+  def viterbi(emissions: Array[Array[Float]],
+      trans: Array[Array[Float]]): Array[Int] = {
+    val T = emissions.length
+    if (T == 0) return Array.empty
+    val prev = new Array[Float](K + 2)
+    java.util.Arrays.fill(prev, NEG)
+    prev(START) = 0f
+    val back = Array.ofDim[Int](T, K)
+    val cur = new Array[Float](K + 2)
+    var t = 0
+    while (t < T) {
+      val em = emissions(t)
+      var to = 0
+      while (to < K) {
+        var bestFrom = 0
+        var best = prev(0) + trans(0)(to)
+        var from = 1
+        while (from < K + 2) {
+          val s = prev(from) + trans(from)(to)
+          if (s > best) { best = s; bestFrom = from } // first max wins
+          from += 1
+        }
+        cur(to) = best + em(to)
+        back(t)(to) = bestFrom
+        to += 1
+      }
+      cur(START) = NEG; cur(END) = NEG
+      System.arraycopy(cur, 0, prev, 0, K + 2)
+      t += 1
+    }
+    // terminal transition to END (decoders.py:184-187)
+    var bestTag = 0
+    var best = prev(0) + trans(0)(END)
+    var tag = 1
+    while (tag < K) {
+      val s = prev(tag) + trans(tag)(END)
+      if (s > best) { best = s; bestTag = tag }
+      tag += 1
+    }
+    val path = new Array[Int](T)
+    path(T - 1) = bestTag
+    var i = T - 1
+    while (i > 0) {
+      path(i - 1) = back(i)(path(i))
+      i -= 1
+    }
+    path
+  }
+
+  /** Brute-force exact decode for property tests (enumerates all K^T
+    * paths). Tie-break matches the DP's first-max backtrace exactly:
+    * among max-score paths, the one whose REVERSED tag sequence is
+    * lexicographically smallest — the final argmax picks the lowest
+    * final tag first (decoders.py:186), then each backpointer picks the
+    * lowest source tag (decoders.py:180). */
+  def bruteForce(emissions: Array[Array[Float]],
+      trans: Array[Array[Float]]): (Array[Int], Float) = {
+    val T = emissions.length
+    var bestPath: Array[Int] = null
+    var bestScore = Float.NegativeInfinity
+    def revLess(a: List[Int], b: Array[Int]): Boolean = {
+      // a is already reversed (head = last tag); compare vs b reversed
+      var i = 0
+      var cur = a
+      while (cur.nonEmpty) {
+        val x = cur.head
+        val y = b(b.length - 1 - i)
+        if (x != y) return x < y
+        cur = cur.tail; i += 1
+      }
+      false
+    }
+    def rec(t: Int, prevTag: Int, score: Float, path: List[Int]): Unit = {
+      if (t == T) {
+        val s = score + trans(prevTag)(END)
+        if (s > bestScore ||
+            (s == bestScore && revLess(path, bestPath))) {
+          bestScore = s; bestPath = path.reverse.toArray
+        }
+      } else {
+        var tag = 0
+        while (tag < K) {
+          rec(t + 1, tag,
+            score + trans(prevTag)(tag) + emissions(t)(tag), tag :: path)
+          tag += 1
+        }
+      }
+    }
+    rec(0, START, 0f, Nil)
+    (bestPath, bestScore)
+  }
+
+  /** The fused featurize→emit→Viterbi kernel: one narrow mapPartitions
+    * stage, broadcast weights, no shuffle (SURVEY.md §4 custom piece 1).
+    * Scales linearly with cores — zero cross-sentence state. */
+  def tag(sentences: Dataset[Sentence]): Dataset[TaggedSentence] = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    val bW = spark.sparkContext.broadcast(emissionWeights)
+    val bT = spark.sparkContext.broadcast(transitions)
+    val bGaz = spark.sparkContext.broadcast(Dict.gazIndex)
+    sentences.mapPartitions { it =>
+      val w = bW.value; val tr = bT.value; val gaz = bGaz.value
+      it.map { s =>
+        val masks = Features.sentenceBits(s.tokens, gaz)
+        val em = masks.map(emit(_, w))
+        val path = viterbi(em, tr)
+        TaggedSentence(s.repo, s.path, s.sentIdx, s.tokens, s.starts,
+          s.ends, path.map(Dict.tags))
+      }
+    }
+  }
+}
