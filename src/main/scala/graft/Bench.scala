@@ -1,24 +1,69 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.SourceFile
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Headline metric = end-to-end KG pipeline throughput in triples/sec
+  * (BASELINE.json metric) over the documents-derived corpus, replicated
+  * [[Bench.replication]]× so compute dominates fixed job overhead at
+  * small SF; per-query wall times ride along in `queries`.
+  */
 object Bench {
+
+  /** Corpus for throughput runs: the sfDir documents replicated with
+    * distinct paths (same text → same decode work per copy). */
+  def corpus(spark: SparkSession, sfDir: String, replication: Int)
+      : DataFrame = {
+    val base = graft.core.Corpus.fromDocuments(spark, sfDir)
+    spark.range(replication).toDF("copy")
+      .crossJoin(base)
+      .select(col("repo"),
+        concat(col("copy").cast("string"), lit("/"), col("path"))
+          .as("path"),
+        col("commit"), col("lang"), col("content"))
+  }
+
+  def replication: Int =
+    sys.env.getOrElse("SPARK_GRAFT_REPLICATION", "8").toInt
+
+  /** One pipeline run → (seconds, triples). */
+  def runPipeline(spark: SparkSession, sfDir: String): (Double, Long) = {
+    import spark.implicits._
+    val files = corpus(spark, sfDir, replication).as[SourceFile]
+    val t0 = System.nanoTime()
+    val n = Pipeline.triples(files).count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (pipeSec, triples) = runPipeline(spark, sfDir)
+    val tps = if (pipeSec > 0) triples / pipeSec else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"pipeline_triples_per_sec","value":$tps,""" +
+      s""""unit":"triples/sec","pipeline_sec":$pipeSec,""" +
+      s""""triples":$triples,"replication":$replication,""" +
+      s""""cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -104,7 +104,7 @@ object Queries {
   /** BIO→span extraction as a window FSM (Convert_to_darpa_xml.py:15-94;
     * SURVEY §2.7). Tags derived deterministically from the shared token
     * table (B/I/orphan-I all exercised). */
-  private def tagRule(c: String): String =
+  def tagRuleSql(c: String): String =
     s"""CASE WHEN $c = 'hash' THEN 'B-ORG' WHEN $c = 'join' THEN 'I-ORG'
        | WHEN $c = 'key' THEN 'B-GPE' WHEN $c = 'value' THEN 'I-GPE'
        | WHEN $c = 'spark' THEN 'B-PER' ELSE 'O' END""".stripMargin
@@ -113,7 +113,7 @@ object Queries {
     val tok = words(s, dir)
       .select(col("doc_id").as("doc"), lit(0).as("sent"), col("idx"),
         col("word").as("token"), col("idx").as("start"),
-        col("idx").as("end"), expr(tagRule("word")).as("tag"))
+        col("idx").as("end"), expr(tagRuleSql("word")).as("tag"))
     Spans.fromTokenTable(tok)
       .select(col("doc"), col("start"), col("end"), col("tag"), col("text"))
       .orderBy("doc", "start")
@@ -122,7 +122,7 @@ object Queries {
   private val o06 =
     s"""WITH tok AS (
        |  SELECT doc_id AS doc, idx, word AS token,
-       |         ${tagRule("word")} AS tag
+       |         ${tagRuleSql("word")} AS tag
        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word,
        |               generate_subscripts(string_split(text,' '), 1) - 1 AS idx
        |        FROM documents)),

@@ -26,7 +26,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all
+    Queries.all ++ Queries2.all
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ Queries2.oracles
 }

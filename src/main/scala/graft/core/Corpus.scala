@@ -97,7 +97,11 @@ object Corpus {
     * the document text verbatim (per-row sha256 invariant is computed
     * on it, never mutated). */
   def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    // the local fixture is a single small parquet file (1 split) — spread
+    // it over the cores or the whole decode stage runs as one task; a
+    // real corpus arrives pre-partitioned and skips this shuffle
     spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         concat(lit("repo"),
           floor(sqrt(pmod(col("doc_id") * 2654435761L, lit(1024))))

@@ -1,0 +1,179 @@
+package graft.postprocess
+
+import graft.core.{Dict, Mention, Sentence}
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's post-processing stage as pure dataflow
+  * (post_process.py:83-414; SURVEY.md §2.5, §7.6).
+  *
+  * Order of stages matches the reference pipeline: lookup fix-up →
+  * within-doc majority-vote relabel → cross-doc top-K vote
+  * relabel/delete → dictionary-driven span insertion with greedy
+  * overlap suppression. Deterministic replacements for the reference's
+  * order-sensitive bits are pinned:
+  *  - vote ties broken by (count desc, tag asc) — the reference's
+  *    first-seen-wins `>` scan (post_process.py:253-261) is
+  *    dict-order-dependent;
+  *  - top-K n-gram ties broken by (count desc, ngram asc)
+  *    (post_process.py:294 relies on Python sort stability);
+  *  - greedy insertion runs per doc in (sentIdx, start, end, text)
+  *    order inside a cogroup (the reference mutates its span list in
+  *    file order, post_process.py:176-193);
+  *  - the mutation-during-iteration skip bug at post_process.py:327-334
+  *    is NOT copied: all matches are relabeled/deleted (intended
+  *    semantics, SURVEY.md §7.6.3).
+  */
+/** Candidate span for dictionary-driven insertion. Public: Spark's
+  * generated code calls the accessors directly, so the encoder class
+  * cannot be private. */
+final case class Cand(sIdx: Int, s0: Int, e0: Int, text: String, tag: String)
+
+object PostProcess {
+
+  /** Stage 1: lookup-table fix-up (post_process.py:139-157) —
+    * broadcast map relabel, narrow. */
+  def lookupFixup(mentions: Dataset[Mention]): Dataset[Mention] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val bLookup = spark.sparkContext.broadcast(Dict.lookupTable)
+    mentions.mapPartitions { it =>
+      val lookup = bLookup.value
+      it.map { m =>
+        lookup.get(m.text.toLowerCase) match {
+          case Some(tag) if tag != m.tag => m.copy(tag = tag)
+          case _ => m
+        }
+      }
+    }
+  }
+
+  /** Stage 2: within-document majority vote (post_process.py:245-261 +
+    * relabel): for every (doc, span text) occurring with >1 distinct
+    * tag, relabel all occurrences to the majority tag when the winning
+    * count > confNum. One shuffle on (doc, text). */
+  def withinDocVote(mentions: Dataset[Mention], confNum: Int = 2)
+      : Dataset[Mention] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    // materialize once: the vote aggregation and the relabel join both
+    // consume `df`; without this the whole upstream decode pipeline
+    // would recompute per consumer (2x per stage, 8x chained). cache()
+    // (lazy) not localCheckpoint (eager): no extra materialization job
+    val df = mentions.toDF().cache()
+    val votes = df
+      .groupBy(col("repo"), col("path"), lower(col("text")).as("key"),
+        col("tag"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("repo", "path", "key")
+        .orderBy(desc("n"), asc("tag"))))
+      .filter(col("rk") === 1 && col("n") > confNum)
+      // fresh column names: votes derives from df, so reusing repo/path
+      // would make a self-join with ambiguous attribute ids
+      .select(col("repo").as("vrepo"), col("path").as("vpath"),
+        col("key").as("vkey"), col("tag").as("voteTag"))
+    // votes is tiny after the >confNum filter — broadcast it so the
+    // full mention table never shuffles for this stage
+    df.join(broadcast(votes),
+        df("repo") === col("vrepo") && df("path") === col("vpath") &&
+          lower(df("text")) === col("vkey"), "left")
+      .select(df("repo"), df("path"), col("sentIdx"), col("start"),
+        col("end"), col("text"),
+        coalesce(col("voteTag"), df("tag")).as("tag"), col("conf"))
+      .as[Mention]
+  }
+
+  /** Stage 3: cross-document vote over the top-K most frequent span
+    * texts (post_process.py:294-335): majority tag computed over ALL
+    * docs; matching mentions relabeled (intended semantics — no
+    * skip-next bug). Two shuffles (freq groupBy + vote groupBy), both
+    * on the span-text key; the vote dictionary is top-K small and
+    * broadcast back. */
+  def crossDocVote(mentions: Dataset[Mention], topK: Int = 20)
+      : Dataset[Mention] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val df = mentions.toDF().cache()
+      .withColumn("key", lower(col("text")))
+    val top = df.groupBy("key").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("key")).limit(topK)
+    val votes = df.join(broadcast(top), "key")
+      .groupBy("key", "tag").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("key").orderBy(desc("n"), asc("tag"))))
+      .filter(col("rk") === 1)
+      .select(col("key"), col("tag").as("voteTag"))
+    df.join(broadcast(votes), Seq("key"), "left")
+      .select(col("repo"), col("path"), col("sentIdx"), col("start"),
+        col("end"), col("text"),
+        coalesce(col("voteTag"), col("tag")).as("tag"), col("conf"))
+      .as[Mention]
+  }
+
+
+  /** Stage 4: dictionary-driven span insertion
+    * (post_process.py:176-193, 214-233): every doc n-gram (n ≤ 5)
+    * whose lowercased text is in the lookup table becomes a new
+    * mention unless it overlaps an already-predicted or
+    * already-inserted span — greedy, per doc, in canonical
+    * (sentIdx, start, end, text) order (SURVEY.md §7.6.1). Overlap =
+    * s1 < e2 && s2 < e1 on [start, end) offsets (reference predicate
+    * `not (e1 < s2 or e2 < s1)` on inclusive ends,
+    * post_process.py:124-134). Cogroup shuffles both sides by doc key
+    * once; the greedy scan is per-doc local. */
+  def insertFromLookup(sentences: Dataset[Sentence],
+      mentions: Dataset[Mention], maxN: Int = 5): Dataset[Mention] = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    val bLookup = spark.sparkContext.broadcast(Dict.lookupTable)
+    val cands = sentences.flatMap { s =>
+      val lookup = bLookup.value
+      val lower = s.tokens.map(_.toLowerCase)
+      val out = Vector.newBuilder[(String, String, Cand)]
+      var i = 0
+      while (i < lower.length) {
+        var n = 1
+        while (n <= maxN && i + n <= lower.length) {
+          val text = lower.slice(i, i + n).mkString(" ")
+          lookup.get(text).foreach { tag =>
+            out += ((s.repo, s.path, Cand(s.sentIdx, s.starts(i),
+              s.ends(i + n - 1),
+              s.tokens.slice(i, i + n).mkString(" "), tag): Cand))
+          }
+          n += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    val byDocCands = cands.groupByKey { case (r, p, _) => (r, p) }
+    val byDocMentions = mentions.groupByKey(m => (m.repo, m.path))
+    byDocCands.cogroup(byDocMentions) { case ((repo, path), cs, ms) =>
+      val existing = ms.toVector
+      val accepted = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      existing.foreach(m => accepted += ((m.sentIdx, m.start, m.end)))
+      val inserted = Vector.newBuilder[Mention]
+      cs.map(_._3).toVector
+        .sortBy(c => (c.sIdx, c.s0, c.e0, c.text))
+        .foreach { c =>
+          val overlaps = accepted.exists { case (si, s0, e0) =>
+            si == c.sIdx && c.s0 < e0 && s0 < c.e0
+          }
+          if (!overlaps) {
+            accepted += ((c.sIdx, c.s0, c.e0))
+            inserted += Mention(repo, path, c.sIdx, c.s0, c.e0,
+              c.text, c.tag, 1.0)
+          }
+        }
+      existing ++ inserted.result()
+    }
+  }
+
+  /** Full reference post-processing chain (main.py:357-376 order). */
+  def apply(sentences: Dataset[Sentence], mentions: Dataset[Mention],
+      confNum: Int = 2, topK: Int = 20): Dataset[Mention] =
+    insertFromLookup(sentences,
+      crossDocVote(withinDocVote(lookupFixup(mentions), confNum), topK))
+}

@@ -1,0 +1,61 @@
+package graft.triples
+
+import graft.canon.Components
+import graft.link.Linker.LinkedMention
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Canonicalization + (subj, pred, obj) materialization.
+  *
+  * The reference's terminal output is the 8-field EDL record — in
+  * effect (doc:span, type, NIL) triples (post_process.py:29-33,
+  * utils/Convert_to_darpa_xml.py:6-12). The north star widens this to a
+  * canonicalized knowledge graph: mentions with the same canonical
+  * entity collapse to one subject via connected components over the
+  * mention-text ↔ KB-id link graph, then four predicates materialize:
+  * hasType, label, mentionedIn, sameAs (SURVEY.md §7.2 steps 9-10).
+  */
+object Triples {
+
+  /** Canonical node keys. Mention nodes key by (tag, lowercased text)
+    * so homonyms of different types never merge; entity nodes by KB id. */
+  private def mentionNode = concat(lit("m:"), col("tag"), lit(":"),
+    lower(col("text")))
+  private def entityNode = concat(lit("e:"), col("entityId"))
+
+  /** Build the full triple table from linked mentions.
+    * Stages: edge build (narrow) → connected components (iterative,
+    * see [[Components]]) → canonical-subject join → triple union.
+    * The docId carries repo/path so output can partition by repo. */
+  def materialize(linked: Dataset[LinkedMention]): DataFrame = {
+    val spark = linked.sparkSession
+    val df = linked.toDF().cache()
+    val nodes = df.select(mentionNode.as("a"),
+      when(col("entityId") =!= "NIL", entityNode).otherwise(mentionNode)
+        .as("b"))
+    val comps = Components.stringComponents(spark, nodes)
+    // canonical subject = lexicographically-min node string of the
+    // component (stable across runs and partitionings, unlike raw
+    // hash ids)
+    val canon = comps.groupBy("component")
+      .agg(min("node").as("subj"))
+    val withSubj = df
+      .withColumn("node", mentionNode)
+      .join(comps, "node")
+      .join(canon, "component")
+    // single-pass emission: one scan explodes all four predicates per
+    // mention, one distinct dedups — vs 4 join+distinct branches that
+    // would re-run the subject join per predicate
+    withSubj.select(col("subj"), explode(array(
+        struct(lit("hasType").as("pred"), col("tag").as("obj")),
+        struct(lit("label").as("pred"), lower(col("text")).as("obj")),
+        struct(lit("mentionedIn").as("pred"),
+          concat(col("repo"), lit("/"), col("path")).as("obj")),
+        struct(lit("sameAs").as("pred"),
+          when(col("entityId") =!= "NIL", col("entityId")).as("obj"))))
+        .as("po"))
+      .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"))
+      .filter(col("obj").isNotNull) // drops sameAs rows for NIL mentions
+      .distinct()
+  }
+}

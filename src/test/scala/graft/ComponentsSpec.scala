@@ -1,0 +1,41 @@
+package graft
+
+import graft.canon.Components
+
+class ComponentsSpec extends SparkTestBase {
+
+  test("min-label propagation finds exact components on a known graph") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4}, {10,11}, {20,21,22} (chain), self-loop {30}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (30L, 30L)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      10L -> 10, 11L -> 10, 20L -> 20, 21L -> 20, 22L -> 20, 30L -> 30))
+  }
+
+  test("long chain converges (diameter > iterations per round)") {
+    val s = spark
+    import s.implicits._
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(edges).collect()
+    assert(got.forall(_.getLong(1) == 0L))
+    assert(got.length == 31)
+  }
+
+  test("string components via xxhash64 ids round-trip to node names") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("m:per:ada", "e:Q1"), ("m:per:ada lovelace", "e:Q1"),
+      ("m:org:bank", "e:Q7")).toDF("a", "b")
+    val got = Components.stringComponents(spark, pairs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 5)
+    assert(got("m:per:ada") == got("e:Q1"))
+    assert(got("m:per:ada lovelace") == got("e:Q1"))
+    assert(got("m:org:bank") == got("e:Q7"))
+    assert(got("m:per:ada") != got("m:org:bank"))
+  }
+}

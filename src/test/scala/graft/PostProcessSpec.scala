@@ -1,0 +1,84 @@
+package graft
+
+import graft.core.{Mention, Sentence}
+import graft.postprocess.PostProcess
+
+class PostProcessSpec extends SparkTestBase {
+
+  private def m(path: String, sent: Int, start: Int, end: Int,
+      text: String, tag: String) =
+    Mention("r", path, sent, start, end, text, tag, 1.0)
+
+  test("lookup fix-up relabels a dictionary span (post_process.py:139-157)") {
+    val s = spark
+    import s.implicits._
+    val ms = Seq(m("p", 0, 0, 12, "Ada Lovelace", "ORG"),
+      m("p", 0, 20, 25, "other", "LOC")).toDS()
+    val got = PostProcess.lookupFixup(ms).collect().sortBy(_.start)
+    assert(got(0).tag == "PER") // dictionary wins
+    assert(got(1).tag == "LOC") // untouched
+  }
+
+  test("within-doc majority vote relabels when votes > confNum") {
+    val s = spark
+    import s.implicits._
+    val ms = Seq(
+      m("p", 0, 0, 5, "Kenya", "GPE"), m("p", 1, 0, 5, "Kenya", "GPE"),
+      m("p", 2, 0, 5, "Kenya", "GPE"), m("p", 3, 0, 5, "Kenya", "LOC"),
+      // only 2 votes — below confNum=2 threshold (needs > 2)
+      m("q", 0, 0, 5, "Adama", "GPE"), m("q", 1, 0, 5, "Adama", "LOC"))
+      .toDS()
+    val got = PostProcess.withinDocVote(ms, confNum = 2).collect()
+    assert(got.filter(_.path == "p").forall(_.tag == "GPE"))
+    val q = got.filter(_.path == "q").sortBy(_.sentIdx)
+    assert(q.map(_.tag).toSeq == Seq("GPE", "LOC")) // unchanged
+  }
+
+  test("cross-doc vote relabels all matches (no skip-next bug)") {
+    val s = spark
+    import s.implicits._
+    val ms = (1 to 5).map(i => m(s"p$i", 0, 0, 5, "Tigray", "GPE")) ++
+      (1 to 3).map(i => m(s"q$i", 0, 0, 5, "Tigray", "LOC")) ++
+      Seq(m("z", 0, 0, 4, "rare", "ORG"))
+    val got = PostProcess.crossDocVote(ms.toDS(), topK = 1).collect()
+    assert(got.filter(_.text == "Tigray").forall(_.tag == "GPE"))
+    assert(got.filter(_.text == "rare").head.tag == "ORG")
+  }
+
+  test("greedy insertion adds dictionary n-grams without overlaps, " +
+      "canonical order (post_process.py:176-233)") {
+    val s = spark
+    import s.implicits._
+    val toks = "saw Ada Lovelace near Addis Ababa today".split(' ')
+    var pos = 0
+    val starts = toks.map { t => val p = pos; pos += t.length + 1; p }
+    val ends = toks.zip(starts).map { case (t, st) => st + t.length }
+    val sents = Seq(Sentence("r", "p", 0, toks, starts, ends)).toDS()
+    // existing mention already covers "Ada Lovelace" → candidate
+    // suppressed; "Addis Ababa" free → inserted
+    val existing = Seq(
+      m("p", 0, starts(1), ends(2), "Ada Lovelace", "PER")).toDS()
+    val got = PostProcess.insertFromLookup(sents, existing)
+      .collect().sortBy(_.start)
+    assert(got.length == 2)
+    assert(got(0).text == "Ada Lovelace")
+    assert(got(1).text == "Addis Ababa" && got(1).tag == "GPE")
+    assert(got(1).start == starts(4) && got(1).end == ends(5))
+  }
+
+  test("insertion prefers earlier/longer candidate under overlap " +
+      "(canonical (sentIdx,start,end,text) order)") {
+    val s = spark
+    import s.implicits._
+    // "lake tana" (LOC, 2 toks) overlaps "tana" — only one inserted:
+    // the one starting earlier
+    val toks = "the Lake Tana shore".split(' ')
+    var pos = 0
+    val starts = toks.map { t => val p = pos; pos += t.length + 1; p }
+    val ends = toks.zip(starts).map { case (t, st) => st + t.length }
+    val sents = Seq(Sentence("r", "p", 0, toks, starts, ends)).toDS()
+    val got = PostProcess.insertFromLookup(sents,
+      spark.emptyDataset[Mention]).collect()
+    assert(got.map(_.text).toSeq == Seq("Lake Tana"))
+  }
+}
