@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch iteration,
+  * output shape) is real and tested; the actual media decode is STUBBED
+  * with a deterministic fake (this container ships no image/audio
+  * libraries — the stub is clearly marked and isolated behind
+  * [[decodeStub]] so a real codec drops in per-partition without
+  * touching the dataflow).
+  */
+object Multimodal {
+
+  /** Typed media row: payload + metadata travel together; payload stays
+    * opaque binary until a decode stage runs. */
+  final case class MediaRow(
+      media_id: Long, kind: String, width: Int, height: Int,
+      payload: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int,
+      byte_mean: Double, byte_entropy_q: Long, thumb: Array[Byte])
+
+  /** Deterministic synthetic media table (seeded): payload bytes from a
+    * per-row LCG — stands in for real image/audio blobs. */
+  def synthesize(spark: SparkSession, n: Int, seed: Long = 42L)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { i =>
+      val rng = new java.util.Random(seed * 31 + i)
+      val kinds = Vector("image", "audio", "video")
+      val w = 8 + rng.nextInt(24); val h = 8 + rng.nextInt(24)
+      val payload = new Array[Byte](w * h)
+      rng.nextBytes(payload)
+      MediaRow(i, kinds((i % 3).toInt), w, h, payload)
+    }
+  }
+
+  /** ==== STUB ==== the real decoder (JPEG/PNG/opus/...) goes here.
+    * The fake is deterministic: "decode" = the raw payload bytes;
+    * "thumbnail" = every k-th byte (the frame-sample pattern). A real
+    * implementation replaces ONLY this function. */
+  def decodeStub(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+    if (payload.isEmpty) return Array.emptyByteArray
+    val step = math.max(1, payload.length / targetLen)
+    payload.indices.by(step).take(targetLen)
+      .map(payload(_)).toArray
+  }
+
+  /** Feature extraction over the media table: per-partition batch loop
+    * (the shape a vectorized/Pandas-UDF decode takes on a real
+    * cluster), emitting per-blob stats + a fixed-size thumbnail. */
+  def extractFeatures(media: Dataset[MediaRow], thumbLen: Int = 16)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = m.payload
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        // quantized byte "entropy": count of distinct byte values —
+        // a deterministic stand-in for a real histogram entropy
+        val distinctBytes = bytes.map(_ & 0xff).toSet.size.toLong
+        MediaFeatures(m.media_id, m.kind, bytes.length,
+          math.rint(mean * 10000) / 10000, distinctBytes,
+          decodeStub(bytes, thumbLen))
+      }
+    }
+  }
+
+  /** Metadata/agg view (pure relational over the binary column):
+    * per-kind blob count, total bytes, mean payload size. */
+  def stats(media: DataFrame): DataFrame =
+    media.groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        round(avg(length(col("payload"))), 4).as("mean_bytes"))
+      .orderBy("kind")
+}

@@ -74,9 +74,11 @@ object PostProcess {
       // would make a self-join with ambiguous attribute ids
       .select(col("repo").as("vrepo"), col("path").as("vpath"),
         col("key").as("vkey"), col("tag").as("voteTag"))
-    // votes is tiny after the >confNum filter — broadcast it so the
-    // full mention table never shuffles for this stage
-    df.join(broadcast(votes),
+    // NO broadcast hint: votes is keyed per (doc, text) so it GROWS
+    // with the corpus — collecting it to the driver is a scaling
+    // bottleneck. A shuffle join partitions both sides by the key;
+    // AQE still downgrades to broadcast when runtime stats are small
+    df.join(votes,
         df("repo") === col("vrepo") && df("path") === col("vpath") &&
           lower(df("text")) === col("vkey"), "left")
       .select(df("repo"), df("path"), col("sentIdx"), col("start"),

@@ -1,0 +1,103 @@
+package graft.vectors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force cosine top-k as the exact baseline, and an LSH
+  * (random-hyperplane signature) bucketed variant as the scale path.
+  * Everything is `zip_with`/`aggregate` column math — codegen'd, no
+  * UDFs, no driver-side loops.
+  */
+object VectorOps {
+
+  /** Dot product of two array<double> columns (order-pinned fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  /** Normalize once up front: cosine becomes a plain dot product, so
+    * the pairwise stage does one fused multiply-add pass per pair. */
+  def withUnitVec(emb: DataFrame, vecCol: String = "embedding")
+      : DataFrame =
+    emb.withColumn("unit",
+      transform(asDouble(col(vecCol)),
+        x => x / norm(asDouble(col(vecCol)))))
+
+  /** Exact brute-force cosine top-k neighbors per vector.
+    * Cost model: |V|² dot products through one shuffle-free cross
+    * join against a broadcast right side (embedding dims are small;
+    * for |V| beyond broadcast limits use [[lshNeighbors]]). */
+  def bruteForceTopK(emb: DataFrame, k: Int = 5): DataFrame = {
+    val u = withUnitVec(emb).select(
+      col("vec_id"), col("unit")).localCheckpoint(true)
+    val a = u.select(col("vec_id").as("id_a"), col("unit").as("ua"))
+    val b = u.select(col("vec_id").as("id_b"), col("unit").as("ub"))
+    val pairs = a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("ua"), col("ub")), 4).as("cos"))
+    val w = Window.partitionBy("id_a")
+      .orderBy(desc("cos"), asc("id_b")) // deterministic tie-break
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane: component j of plane p =
+    * sin(p * 7919 + j * 104729) — fixed, engine-reproducible, no RNG
+    * state. Sign pattern over `planes` planes = the LSH bucket key. */
+  def hyperplaneSignature(unit: Column, planes: Int): Column =
+    concat_ws("", (0 until planes).map { p =>
+      val h = aggregate(
+        zip_with(unit,
+          transform(sequence(lit(0), size(unit) - 1),
+            j => sin(j.cast("double") * 104729 + p * 7919)),
+          (x, y) => x * y),
+        lit(0.0d), _ + _)
+      when(h >= 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed approximate neighbors: vectors sharing a
+    * random-hyperplane sign signature are candidates; exact cosine is
+    * computed only within buckets. One shuffle keyed by signature —
+    * O(|V|·bucket) not O(|V|²); at 100 TB the bucket join partitions
+    * by signature and never materializes the full cross product. */
+  def lshNeighbors(emb: DataFrame, planes: Int = 6, k: Int = 5)
+      : DataFrame = {
+    val u = withUnitVec(emb)
+      .select(col("vec_id"), col("unit"))
+      .withColumn("sig", hyperplaneSignature(col("unit"), planes))
+      .localCheckpoint(true)
+    val a = u.select(col("vec_id").as("id_a"), col("unit").as("ua"),
+      col("sig"))
+    val b = u.select(col("vec_id").as("id_b"), col("unit").as("ub"),
+      col("sig"))
+    val pairs = a.join(b, Seq("sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("ua"), col("ub")), 4).as("cos"))
+    val w = Window.partitionBy("id_a")
+      .orderBy(desc("cos"), asc("id_b"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rk"))
+  }
+
+  /** Centroid per label (the IVF coarse-quantizer training step):
+    * element-wise mean via posexplode + groupBy — partial aggregation
+    * map-side, one shuffle on (label, dim). */
+  def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg("v").as("mean_v"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_v")))),
+        s => s.getField("mean_v")).as("centroid"))
+}

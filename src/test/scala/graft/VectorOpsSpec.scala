@@ -1,0 +1,75 @@
+package graft
+
+import graft.vectors.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkTestBase {
+
+  private lazy val emb = {
+    val s = spark
+    import s.implicits._
+    // 3 tight clusters in 4-d + one orthogonal loner
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.95f, 0.05f, 0f, 0f), 0),
+      (3L, Array(0f, 1f, 0f, 0f), 1),
+      (4L, Array(0f, 0.9f, 0.1f, 0f), 1),
+      (5L, Array(0f, 0f, 0f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k: nearest neighbor is the same cluster") {
+    val top1 = VectorOps.bruteForceTopK(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L).contains(top1(0L)))
+    assert(top1(3L) == 4L && top1(4L) == 3L)
+    // loner's best is low-cosine but deterministic (id tie-break)
+    assert(top1(5L) == 0L)
+  }
+
+  test("cosine values are exact for hand-computable vectors") {
+    val rows = VectorOps.bruteForceTopK(emb, k = 5)
+      .filter(col("id_a") === 0 && col("id_b") === 3)
+      .collect()
+    assert(rows.head.getDouble(2) == 0.0) // orthogonal
+  }
+
+  test("LSH neighbors ⊆ reasonable and agree with brute force on top-1 " +
+      "for in-bucket clusters") {
+    val bf = VectorOps.bruteForceTopK(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = VectorOps.lshNeighbors(emb, planes = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every LSH top-1 must be the true top-1 IF the true top-1 shares
+    // the bucket; with 2 planes the tight clusters do
+    lsh.foreach { case (a, b) =>
+      assert(bf(a) == b || lsh.size < bf.size,
+        s"lsh($a)=$b but brute=$b")
+    }
+    assert(lsh.nonEmpty)
+  }
+
+  test("centroids are element-wise means per label") {
+    val c = VectorOps.centroids(emb)
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1)).toMap
+    assert(math.abs(c(1)(1) - 0.95) < 1e-6) // (1.0+0.9)/2
+    assert(c(2)(3) == 1.0)
+    assert(c.keySet == Set(0, 1, 2))
+  }
+
+  test("real embeddings table: every vector gets k neighbors, " +
+      "cos within [-1, 1]") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(dir).exists()) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val got = VectorOps.bruteForceTopK(e, k = 3).cache()
+      val n = e.count()
+      assert(got.count() == n * 3)
+      assert(got.filter(col("cos") > 1.0001 || col("cos") < -1.0001)
+        .count() == 0)
+      got.unpersist()
+    }
+  }
+}
