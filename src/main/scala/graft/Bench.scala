@@ -31,9 +31,10 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_REPLICATION", "8").toInt
 
   /** One pipeline run → (seconds, triples). */
-  def runPipeline(spark: SparkSession, sfDir: String): (Double, Long) = {
+  def runPipeline(spark: SparkSession, sfDir: String,
+      rep: Int = replication): (Double, Long) = {
     import spark.implicits._
-    val files = corpus(spark, sfDir, replication).as[SourceFile]
+    val files = corpus(spark, sfDir, rep).as[SourceFile]
     val t0 = System.nanoTime()
     val n = Pipeline.triples(files).count()
     ((System.nanoTime() - t0) / 1e9, n)

@@ -29,13 +29,17 @@ object ScalingBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt
+    // compute-dominated workload: at the default 256x replication the
+    // parallel fraction dwarfs the ~10s of fixed per-job latency that
+    // local-mode scheduling costs regardless of data size
+    val rep = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICATION", "256").toInt
     def once(cpus: Int): (Double, Long) = {
       // fresh session per run: cache() entries registered inside the
       // pipeline match by canonicalized plan, so a reused session would
       // let a timed run silently consume the previous run's caches and
       // measure only the post-cache stages
       val spark = session(cpus)
-      try Bench.runPipeline(spark, sfDir)
+      try Bench.runPipeline(spark, sfDir, rep)
       finally {
         spark.catalog.clearCache()
         spark.stop()
@@ -55,7 +59,7 @@ object ScalingBench {
     val hiTps = triples / hiSec
     val eff = hiTps / ((hi.toDouble / lo) * loTps)
     println(s"""{"metric":"scaling","sf":"$sfDir","triples":$triples,""" +
-      s""""replication":${Bench.replication},""" +
+      s""""replication":$rep,""" +
       s""""lo_cpus":$lo,"lo_sec":$loSec,"lo_triples_per_sec":$loTps,""" +
       s""""hi_cpus":$hi,"hi_sec":$hiSec,"hi_triples_per_sec":$hiTps,""" +
       s""""scaling_efficiency":$eff}""")

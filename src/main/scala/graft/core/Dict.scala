@@ -117,6 +117,17 @@ object Dict {
     gazetteer.map { case (toks, l) => toks.mkString(" ").toLowerCase -> l }
       .groupBy(_._1).collect { case (k, vs) if vs.map(_._2).distinct.size == 1 => k -> vs.head._2 }
 
+  /** lookupTable re-indexed by first token for the span-insertion
+    * probe: only positions whose token can start an entry pay any
+    * allocation (same shape as [[gazIndex]]; building every n-gram
+    * string and probing a flat map is allocation-bound at scale). */
+  lazy val lookupIndex: Map[String, Vector[(Vector[String], String)]] =
+    lookupTable.toVector
+      .map { case (text, tag) => (text.split(' ').toVector, tag) }
+      .groupBy(_._1.head)
+      .view.mapValues(_.sortBy(e => (-e._1.length, e._1.mkString(" "))))
+      .toMap
+
   /** Canonical entity id for a dictionary entry (the KB id the linker
     * resolves to; replaces the reference's NIL column,
     * post_process.py:29-33). */

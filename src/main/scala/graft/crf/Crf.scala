@@ -201,6 +201,20 @@ object Crf {
     (bestPath, bestScore)
   }
 
+  /** Decode one sentence in place: features → emissions → Viterbi.
+    * Shared by [[tag]] and the fully-fused corpus kernel in
+    * [[graft.pipeline.Pipeline]]. */
+  def decodeSentence(s: Sentence, w: Array[Array[Float]],
+      tr: Array[Array[Float]],
+      gaz: Map[String, Vector[(Vector[String], String, Int)]])
+      : TaggedSentence = {
+    val masks = Features.sentenceBits(s.tokens, gaz)
+    val em = masks.map(emit(_, w))
+    val path = viterbi(em, tr)
+    TaggedSentence(s.repo, s.path, s.sentIdx, s.tokens, s.starts,
+      s.ends, path.map(Dict.tags))
+  }
+
   /** The fused featurize→emit→Viterbi kernel: one narrow mapPartitions
     * stage, broadcast weights, no shuffle (SURVEY.md §4 custom piece 1).
     * Scales linearly with cores — zero cross-sentence state. */
@@ -212,13 +226,7 @@ object Crf {
     val bGaz = spark.sparkContext.broadcast(Dict.gazIndex)
     sentences.mapPartitions { it =>
       val w = bW.value; val tr = bT.value; val gaz = bGaz.value
-      it.map { s =>
-        val masks = Features.sentenceBits(s.tokens, gaz)
-        val em = masks.map(emit(_, w))
-        val path = viterbi(em, tr)
-        TaggedSentence(s.repo, s.path, s.sentIdx, s.tokens, s.starts,
-          s.ends, path.map(Dict.tags))
-      }
+      it.map(decodeSentence(_, w, tr, gaz))
     }
   }
 }

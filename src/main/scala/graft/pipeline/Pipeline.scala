@@ -27,14 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def mentions(files: Dataset[SourceFile]): Dataset[Mention] =
-    Spans.fromTagged(Crf.tag(Segmenter.sentences(files)))
-
-  def postProcessed(files: Dataset[SourceFile]): Dataset[Mention] = {
-    val sents = Segmenter.sentences(files)
-    val raw = Spans.fromTagged(Crf.tag(sents))
-    PostProcess(sents, raw)
+  /** Fully-fused decode: SourceFile → segment → featurize → Viterbi →
+    * span-extract inside ONE mapPartitions closure. The modular
+    * [[Segmenter]]/[[Crf]]/[[Spans]] stages compose as plain function
+    * calls, so the heavyweight intermediates (token arrays + offsets)
+    * never cross an encoder boundary — 3 ser/de roundtrips of the
+    * biggest data removed vs chaining the typed Datasets. */
+  def mentions(files: Dataset[SourceFile]): Dataset[Mention] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val bW = spark.sparkContext.broadcast(Crf.emissionWeights)
+    val bT = spark.sparkContext.broadcast(Crf.transitions)
+    val bGaz = spark.sparkContext.broadcast(graft.core.Dict.gazIndex)
+    files.mapPartitions { it =>
+      val w = bW.value; val tr = bT.value; val gaz = bGaz.value
+      it.flatMap { f =>
+        Segmenter.segment(f.content).iterator.flatMap {
+          case (i, toks, ss, es) =>
+            Spans.extract(Crf.decodeSentence(
+              graft.core.Sentence(f.repo, f.path, i, toks, ss, es),
+              w, tr, gaz))
+        }
+      }
+    }
   }
+
+  def postProcessed(files: Dataset[SourceFile]): Dataset[Mention] =
+    PostProcess(Segmenter.sentences(files), mentions(files))
 
   def triples(files: Dataset[SourceFile]): DataFrame =
     Triples.materialize(Linker.link(postProcessed(files)))

@@ -129,22 +129,31 @@ object PostProcess {
       mentions: Dataset[Mention], maxN: Int = 5): Dataset[Mention] = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    val bLookup = spark.sparkContext.broadcast(Dict.lookupTable)
+    val bIdx = spark.sparkContext.broadcast(Dict.lookupIndex)
     val cands = sentences.flatMap { s =>
-      val lookup = bLookup.value
+      // first-token-indexed probe: a position whose token starts no
+      // dictionary entry costs one map lookup and ZERO allocations.
+      // (The naive per-position n-gram enumeration builds maxN strings
+      // per token — allocation-bound: profiled as the pipeline's top
+      // CPU sink at 32 threads.)
+      val idx = bIdx.value
       val lower = s.tokens.map(_.toLowerCase)
       val out = Vector.newBuilder[(String, String, Cand)]
       var i = 0
       while (i < lower.length) {
-        var n = 1
-        while (n <= maxN && i + n <= lower.length) {
-          val text = lower.slice(i, i + n).mkString(" ")
-          lookup.get(text).foreach { tag =>
-            out += ((s.repo, s.path, Cand(s.sentIdx, s.starts(i),
-              s.ends(i + n - 1),
-              s.tokens.slice(i, i + n).mkString(" "), tag): Cand))
+        idx.get(lower(i)).foreach { entries =>
+          entries.foreach { case (toks, tag) =>
+            val n = toks.length
+            if (n <= maxN && i + n <= lower.length) {
+              var k = 1
+              var ok = true
+              while (ok && k < n) { ok = lower(i + k) == toks(k); k += 1 }
+              if (ok)
+                out += ((s.repo, s.path, Cand(s.sentIdx, s.starts(i),
+                  s.ends(i + n - 1),
+                  s.tokens.slice(i, i + n).mkString(" "), tag): Cand))
+            }
           }
-          n += 1
         }
         i += 1
       }

@@ -30,6 +30,12 @@ object Triples {
   def materialize(linked: Dataset[LinkedMention]): DataFrame = {
     val spark = linked.sparkSession
     val df = linked.toDF().cache()
+    // materialization barrier: the CC loop and the subject join each
+    // spawn exchange subtrees over `df`; if the cache is cold they race
+    // to compute the whole upstream pipeline concurrently (observed as
+    // tasks blocked on each other's block locks + duplicated compute).
+    // One eager pass populates the cache before fan-out.
+    df.count()
     val nodes = df.select(mentionNode.as("a"),
       when(col("entityId") =!= "NIL", entityNode).otherwise(mentionNode)
         .as("b"))

@@ -1,0 +1,124 @@
+package graft
+
+import graft.conll.{ConllFixture, ConllOps}
+import org.apache.spark.sql.functions._
+
+class ConllOpsSpec extends SparkTestBase {
+
+  private lazy val toks = ConllOps.conllScan(ConllOps.conllFixture(spark))
+
+  test("CoNLL block scan sessionizes at blank lines, fields[0]/[-1]") {
+    val got = toks.orderBy("sentId", "tokenIdx").collect()
+    assert(got.map(_.getLong(0)).distinct.length == 5)
+    val s0 = got.filter(_.getLong(0) == 0)
+    assert(s0.map(_.getString(2)).toSeq ==
+      Seq("EU", "rejects", "German", "call", "."))
+    assert(s0.map(_.getString(5)).toSeq ==
+      Seq("I-ORG", "O", "I-MISC", "O", "O"))
+    assert(got.filter(_.getString(2) == "Peter").head.getLong(0) == 1)
+  }
+
+  test("IO→BIO: I- after start/O/type-switch becomes B- (IO2BIO.py)") {
+    val bio = ConllOps.io2bio(toks)
+      .orderBy("sentId", "tokenIdx").collect()
+      .map(r => r.getString(2) -> r.getString(6)).toMap
+    assert(bio("EU") == "B-ORG")        // sentence start
+    assert(bio("German") == "B-MISC")   // after O
+    assert(bio("Peter") == "B-PER")
+    assert(bio("Blackburn") == "I-PER") // continuation stays I-
+    assert(bio("European") == "B-ORG")
+    assert(bio("Commission") == "I-ORG")
+    assert(bio("Germany") == "B-LOC")
+    // I-LOC after I-LOC of the same type stays I- (IO2BIO.py:19-22:
+    // label == prev or same type → unchanged)
+    assert(bio("Britain") == "I-LOC")
+  }
+
+  test("BIO→BIOES: S- for singletons, E- at chunk end (IO2BIOES.py)") {
+    val bio = ConllOps.io2bio(toks)
+      .select(col("sentId"), col("tokenIdx"), col("word"),
+        col("bio").as("tag"))
+    val bioes = ConllOps.bio2bioes(bio)
+      .collect().map(r => r.getString(2) -> r.getString(4)).toMap
+    assert(bioes("EU") == "S-ORG")
+    assert(bioes("Peter") == "B-PER")
+    assert(bioes("Blackburn") == "E-PER")
+    assert(bioes("European") == "B-ORG")
+    assert(bioes("Commission") == "E-ORG")
+    assert(bioes("rejects") == "O")
+  }
+
+  test("Oromo normalization matches reference golden values " +
+      "(ormnorm.py:6-28) and is idempotent") {
+    val s = spark
+    import s.implicits._
+    val golden = Seq(
+      "qaxxaamuraa" -> "katamura",
+      "Oromoo" -> "Oromo",
+      "NATO" -> "NATO", // ALL-CAPS returned unchanged
+      "Finfinnee" -> "Finfine",
+      "phaaphaasii" -> "papasi",
+      "caalaa" -> "chala",
+      "baaic" -> "bayich", // c at word end → ch
+      "misra" -> "mifra",  // s+consonant → f+consonant
+      "aaa" -> "aa",       // non-overlapping sub, like re.sub
+      "1996-08-22" -> "1996-08-22",
+      "Addis" -> "Adis")
+    val df = golden.map(_._1).toDF("w")
+      .withColumn("norm", ConllOps.ormNormalize(col("w")))
+      .withColumn("norm2", ConllOps.ormNormalize(col("norm")))
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2)))
+    got.foreach { case (w, n, n2) =>
+      assert(n == golden.toMap.apply(w), s"normalize($w)")
+      // the reference itself is not idempotent on odd-length runs
+      // ("aaa"→"aa"→"a", a re.sub non-overlap artifact) — assert
+      // idempotence everywhere else
+      if (w != "aaa") assert(n2 == n, s"idempotence on $w")
+    }
+  }
+
+  test("Brown clusters: binary → int → dense remap (features.py:16-29)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("0010", "apple", 5L), ("0010", "pear", 3L), ("10", "bank", 9L),
+      ("0001", "run", 2L), ("111", "the", 100L))
+      .toDF("bits", "word", "freq")
+    val got = ConllOps.brownClusters(rows)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // rawIds: 0010->2, 10->2, 0001->1, 111->7 ; dense: 1->0, 2->1, 7->2
+    assert(got("run") == 0)
+    assert(got("apple") == 1 && got("pear") == 1 && got("bank") == 1)
+    assert(got("the") == 2)
+  }
+
+  test("EDL sink emits the byte-exact 8-field record " +
+      "(post_process.py:29-33)") {
+    val s = spark
+    import s.implicits._
+    val m = Seq(("DOC_1", 10, 15, "Kenya", "GPE"),
+      ("DOC_1", 2, 5, "Ada", "PER"))
+      .toDF("doc", "start", "end", "text", "tag")
+    val got = ConllOps.edlRecords(m, "CMU_NER_LOREAL_CP1_TB_GS")
+      .collect().map(_.getString(0)).sorted
+    assert(got(0) ==
+      "CMU_NER_LOREAL_CP1_TB_GS\tDOC_1-ann-1\tAda\tDOC_1:2-5\tNIL\tPER\tNAM\t1.0")
+    assert(got(1) ==
+      "CMU_NER_LOREAL_CP1_TB_GS\tDOC_1-ann-2\tKenya\tDOC_1:10-15\tNIL\tGPE\tNAM\t1.0")
+  }
+
+  test("embedding scan keeps only dim+1 rows (util.py:88-116)") {
+    val s = spark
+    import s.implicits._
+    val lines = Seq(
+      "hello 0.1 0.2 0.3",
+      "bad 0.1 0.2",
+      "realllylongrow 0.1 0.2 0.3 0.4",
+      "world 1.0 -1.0 0.5").toDF("line")
+    val got = ConllOps.embeddingScan(lines, 3).collect()
+    assert(got.map(_.getString(0)).toSet == Set("hello", "world"))
+    assert(got.find(_.getString(0) == "world").get
+      .getSeq[Double](1) == Seq(1.0, -1.0, 0.5))
+  }
+}
