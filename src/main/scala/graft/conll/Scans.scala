@@ -1,0 +1,74 @@
+package graft.conll
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining reference scans (SURVEY.md §2.1) as relational operators
+  * over line/row inputs, plus the skew-safe repo aggregation pattern.
+  */
+object Scans {
+
+  /** setE.conll TSV scan (data_loader.py:321-343;
+    * post_process.py:197-206): tab-separated rows; word at c0, doc
+    * file id at c3, char start/end at c6/c7; doc genre =
+    * docfile.split('_')[1]. */
+  def setEConllScan(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("f", split(col("line"), "\t"))
+      .select(
+        col("f").getItem(0).as("word"),
+        col("f").getItem(3).as("doc"),
+        split(col("f").getItem(3), "_").getItem(1).as("genre"),
+        col("f").getItem(6).cast("int").as("start"),
+        col("f").getItem(7).cast("int").as("end"))
+
+  /** Gazetteer CSV scan (segnerfts.py:25-49): header CSV with
+    * `;`-separated variant lists; unlabeled single-token English rows
+    * default to GPE (segnerfts.py:40-44). Input: (english, label)
+    * columns pre-parsed from CSV. Output: one row per (variant,
+    * label). */
+  def gazetteerScan(rows: DataFrame): DataFrame =
+    rows
+      .select(explode(split(col("english"), ";")).as("variant"),
+        col("label"))
+      .select(trim(col("variant")).as("variant"),
+        when(col("label").isNull || col("label") === "",
+          when(size(split(trim(col("variant")), "\\s+")) === 1,
+            lit("GPE")).otherwise(lit(null)))
+          .otherwise(col("label")).as("label"))
+      .filter(col("variant") =!= "" && col("label").isNotNull)
+
+  /** Lookup-table load with ambiguity removal (post_process.py:36-69):
+    * multi-file union of (span, label) rows; spans mapped to >1
+    * distinct label are dropped (50-55). */
+  def lookupTableScan(rows: DataFrame): DataFrame =
+    rows
+      .groupBy(lower(col("span")).as("span"))
+      .agg(collect_set(col("label")).as("labels"))
+      .filter(size(col("labels")) === 1)
+      .select(col("span"), col("labels").getItem(0).as("label"))
+
+  /** CoNLL prediction sink (main.py:75-82, 529-537): the
+    * `word\tNNP\tNP\ttag` line format, one blank line between
+    * sentences (flattened here as ordered rows; the blank-line framing
+    * is the writer's concern). */
+  def conllSinkLines(tokens: DataFrame): DataFrame =
+    tokens
+      .select(col("sentId"), col("tokenIdx"),
+        concat_ws("\t", col("word"), lit("NNP"), lit("NP"), col("tag"))
+          .as("line"))
+      .orderBy("sentId", "tokenIdx")
+
+  /** Two-phase skew-safe per-repo aggregation (SURVEY.md §7.6.5, north
+    * rule's mega-repo salting): counts per repo via salted partial
+    * aggregation then final merge. Results identical to a direct
+    * groupBy(repo); the salted shuffle bounds any single task by
+    * 1/buckets of the hottest repo. */
+  def saltedRepoCounts(df: DataFrame, buckets: Int = 16): DataFrame =
+    df
+      .withColumn("salt", pmod(xxhash64(col("path")), lit(buckets)))
+      .groupBy(col("repo"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("repo"))
+      .agg(sum(col("partial")).as("n"))
+}
