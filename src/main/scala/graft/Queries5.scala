@@ -212,7 +212,42 @@ object Queries5 {
       .orderBy("repo", "path", "sentIdx", "start")
   }
 
+  // ---- embedding-cosine near-dup + IVF ANN -----------------------------
+
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    graft.vectors.VectorOps.cosineNearDup(
+      s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
+      .orderBy("id_a", "id_b")
+
+  private val o45 =
+    """WITH u AS (
+      |  SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+      |    i -> embedding[i]::DOUBLE / sqrt(list_reduce(
+      |      list_prepend(0.0::DOUBLE,
+      |        list_transform(generate_series(1, len(embedding)),
+      |          j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)),
+      |      (a, x) -> a + x))) AS unit
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(generate_series(1, len(a.unit)),
+      |      i -> a.unit[i] * b.unit[i])), (x, y) -> x + y), 4) AS cos
+      |FROM u a JOIN u b ON a.vec_id < b.vec_id
+      |WHERE round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(generate_series(1, len(a.unit)),
+      |      i -> a.unit[i] * b.unit[i])), (x, y) -> x + y), 4) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** IVF ANN — rows-only (parity vs brute force asserted in
+    * VectorOpsSpec for shared-cell neighbors). */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    graft.vectors.VectorOps.ivfNeighbors(
+      s.read.parquet(s"$dir/embeddings.parquet"))
+      .orderBy("id_a", "rk")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_cosine_neardup" -> (q45 _),
+    "q46_ivf_ann" -> (q46 _),
     "q37_setE_scan" -> (q37 _),
     "q38_gazetteer_scan" -> (q38 _),
     "q39_lookup_ambiguity" -> (q39 _),
@@ -223,6 +258,7 @@ object Queries5 {
     "q44_ensemble_viterbi" -> (q44 _))
 
   val oracles: Map[String, String] = Map(
+    "q45_cosine_neardup" -> o45,
     "q37_setE_scan" -> o37,
     "q38_gazetteer_scan" -> o38,
     "q39_lookup_ambiguity" -> o39,

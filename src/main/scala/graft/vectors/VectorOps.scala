@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product of two array<double> columns (order-pinned fold). */
+  /** Dot product of two array<double> columns: the native codegen'd
+    * expression ([[graft.functions.ArrayDot]]) — identical
+    * index-ascending IEEE fold to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (bit-equal results,
+    * asserted in VectorOpsSpec) at a fraction of the per-element
+    * lambda-dispatch cost. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDot.array_dot(a, b)
+
+  /** The column-math twin (kept for the equivalence test). */
+  def dotColumnMath(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -78,6 +87,67 @@ object VectorOps {
     val b = u.select(col("vec_id").as("id_b"), col("unit").as("ub"),
       col("sig"))
     val pairs = a.join(b, Seq("sig"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("ua"), col("ub")), 4).as("cos"))
+    val w = Window.partitionBy("id_a")
+      .orderBy(desc("cos"), asc("id_b"))
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine ≥ threshold. Exact baseline for the dedup suite's
+    * embedding modality (LSH/IVF are the scale paths). */
+  def cosineNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val u = withUnitVec(emb).select(col("vec_id"), col("unit"))
+      .localCheckpoint(true)
+    val a = u.select(col("vec_id").as("id_a"), col("unit").as("ua"))
+    val b = u.select(col("vec_id").as("id_b"), col("unit").as("ub"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("ua"), col("ub")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF-style ANN: vectors are assigned to their nearest per-label
+    * centroid (the coarse quantizer — [[centroids]] is the training
+    * step); search touches only same-cell pairs. The cell join keys on
+    * the centroid id, so cost is O(|V|·cell), and at scale the shuffle
+    * partitions by cell — the 100 TB path when the broadcast
+    * brute-force is impossible. */
+  def ivfNeighbors(emb: DataFrame, k: Int = 5): DataFrame = {
+    val cents = centroids(emb)
+      .select(col("label").as("cid"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val spark = emb.sparkSession
+    val bC = spark.sparkContext.broadcast(cents)
+    import spark.implicits._
+    val assigned = withUnitVec(emb)
+      .select(col("vec_id"), col("unit"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bC.value
+        it.map { case (id, unit) =>
+          var best = 0; var bestDot = Double.NegativeInfinity
+          cs.foreach { case (cid, c) =>
+            var d = 0.0; var i = 0
+            while (i < c.length && i < unit.length) {
+              d += c(i) * unit(i); i += 1
+            }
+            if (d > bestDot) { bestDot = d; best = cid }
+          }
+          (id, unit, best)
+        }
+      }.toDF("vec_id", "unit", "cell")
+      .localCheckpoint(true)
+    val a = assigned.select(col("vec_id").as("id_a"),
+      col("unit").as("ua"), col("cell"))
+    val b = assigned.select(col("vec_id").as("id_b"),
+      col("unit").as("ub"), col("cell"))
+    val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("ua"), col("ub")), 4).as("cos"))

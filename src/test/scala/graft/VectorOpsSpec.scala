@@ -59,6 +59,36 @@ class VectorOpsSpec extends SparkTestBase {
     assert(c.keySet == Set(0, 1, 2))
   }
 
+  test("native array_dot is bit-equal to the column-math fold") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(dir).exists()) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val both = e.select(
+        VectorOps.dot(col("v"), col("v")).as("native"),
+        VectorOps.dotColumnMath(col("v"), col("v")).as("twin"))
+      assert(both.filter(col("native") =!= col("twin")).count() == 0)
+    }
+  }
+
+  test("cosine near-dup finds only the tight same-direction pairs") {
+    val pairs = VectorOps.cosineNearDup(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L)))
+  }
+
+  test("IVF ANN: top-1 matches brute force when truth shares the cell") {
+    val bf = VectorOps.bruteForceTopK(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = VectorOps.ivfNeighbors(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster members (labels 0 and 1) must agree with brute force
+    Seq(0L, 1L, 2L, 3L, 4L).foreach { id =>
+      assert(ivf.get(id).contains(bf(id)), s"ivf($id)")
+    }
+  }
+
   test("real embeddings table: every vector gets k neighbors, " +
       "cos within [-1, 1]") {
     val dir = "/root/testdata/sf0.001"
