@@ -59,6 +59,13 @@ object Scans {
           .as("line"))
       .orderBy("sentId", "tokenIdx")
 
+  /** Ensemble-split sink (utils/split_train_ensemble.py:5-31): seeded
+    * shuffle of sentences into N train shards — `randomSplit` with a
+    * pinned seed replaces the numpy shuffle. */
+  def ensembleSplit(df: DataFrame, n: Int, seed: Long = 42L)
+      : Array[DataFrame] =
+    df.randomSplit(Array.fill(n)(1.0), seed)
+
   /** Two-phase skew-safe per-repo aggregation (SURVEY.md §7.6.5, north
     * rule's mega-repo salting): counts per repo via salted partial
     * aggregation then final merge. Results identical to a direct

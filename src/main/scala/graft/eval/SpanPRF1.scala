@@ -40,6 +40,22 @@ object SpanPRF1 {
       def outputEncoder: Encoder[Counts] = Encoders.product[Counts]
     }
 
+  /** Token-level tag accuracy (the other conlleval number,
+    * eval/conlleval.v2:180-186): matched tags / total tokens over a
+    * (doc, sent, idx)-keyed join of two tag tables. */
+  def tokenAccuracy(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val keys = Seq("doc", "sent", "idx")
+    val j = pred.select((keys.map(col) :+ col("tag").as("ptag")): _*)
+      .join(gold.select((keys.map(col) :+ col("tag").as("gtag")): _*),
+        keys)
+    j.agg(
+      count(lit(1)).as("tokens"),
+      sum(when(col("ptag") === col("gtag"), 1).otherwise(0))
+        .as("correct"),
+      round(sum(when(col("ptag") === col("gtag"), 1).otherwise(0)) /
+        greatest(count(lit(1)), lit(1L)), 4).as("accuracy"))
+  }
+
   /** Full-outer join of pred × gold span tables on identical key
     * columns → per-type and micro P/R/F1. Both inputs need columns
     * (doc, sent, start, end, tag). */

@@ -31,12 +31,16 @@ object VectorOps {
     transform(c, x => x.cast("double"))
 
   /** Normalize once up front: cosine becomes a plain dot product, so
-    * the pairwise stage does one fused multiply-add pass per pair. */
+    * the pairwise stage does one fused multiply-add pass per pair.
+    * The norm is computed once per vector into its own column — put
+    * inside the transform lambda it would re-evaluate per ELEMENT
+    * (O(d²) per vector). */
   def withUnitVec(emb: DataFrame, vecCol: String = "embedding")
       : DataFrame =
-    emb.withColumn("unit",
-      transform(asDouble(col(vecCol)),
-        x => x / norm(asDouble(col(vecCol)))))
+    emb.withColumn("nrm", norm(asDouble(col(vecCol))))
+      .withColumn("unit",
+        transform(asDouble(col(vecCol)), x => x / col("nrm")))
+      .drop("nrm")
 
   /** Exact brute-force cosine top-k neighbors per vector.
     * Cost model: |V|² dot products through one shuffle-free cross

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties the engine relies on at
+  * 100 TB (pushdown, pruning, broadcast selection, codegen) must not
+  * regress silently. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(dir).exists()
+
+  test("scan+agg pushes the filter into the parquet scan and prunes " +
+      "columns (q07)") {
+    assume(available)
+    val plan = SparkEntry.queries("q07_scan_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThan(l_shipdate"), plan.take(500))
+    // projection pruned: quantity/extendedprice/discount/flags/date
+    // only — orderkey/partkey/suppkey/linenumber/tax never read
+    assert(plan.contains("ReadSchema: struct<l_quantity:double"))
+    assert(!plan.contains("l_orderkey"))
+  }
+
+  test("dimension joins broadcast both small sides (q08)") {
+    assume(available)
+    val plan = SparkEntry.queries("q08_dim_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan.take(400))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("decode pipeline plan is shuffle-free up to mention output") {
+    assume(available)
+    val s = spark
+    import s.implicits._
+    val m = graft.pipeline.Pipeline.mentions(
+      graft.core.Corpus.fromDocuments(spark, dir)
+        .as[graft.core.SourceFile])
+    val plan = m.queryExecution.executedPlan.toString
+    // exactly the one repartition the local-fixture adapter inserts;
+    // segment→featurize→Viterbi→extract adds no exchange of its own
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(600))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    assume(available)
+    // plain Cast, not transform(): higher-order-function lambdas are
+    // CodegenFallback themselves and would break the span regardless
+    // of the expression under test
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(graft.vectors.VectorOps.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("d"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan.take(400))
+    assert(!plan.contains("CodegenFallback"))
+  }
+}
