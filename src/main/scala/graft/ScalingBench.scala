@@ -1,15 +1,23 @@
 package graft
 
+import graft.core.SourceFile
 import org.apache.spark.sql.SparkSession
 
 /** Two-parallelism-level scaling evidence (BASELINE.json north_rule:
   * N vs 4N executors; sandbox stand-in per the driver instruction =
   * the same job at local[N] and local[4N] on identical input).
   *
-  * Runs the full KG pipeline at local[lo] and local[hi] in fresh
-  * sessions (warm-up run first at each level to exclude JIT/classload),
-  * prints one JSON line with both throughputs and the scaling
-  * efficiency throughput(hi) / ((hi/lo) · throughput(lo)).
+  * Measurement discipline (single shared box → noisy):
+  *  - fresh SparkSession + cold cache per run (cache() entries match
+  *    by canonicalized plan — a reused session measures only
+  *    post-cache stages);
+  *  - lo/hi runs INTERLEAVED over `rounds` rounds so machine drift
+  *    hits both levels equally; best (min) per level reported, all
+  *    samples included in the JSON;
+  *  - a decode-stage-only figure rides along: the narrow kernel is
+  *    the stage that dominates at real scale, where per-job fixed
+  *    latency (constant here, amortized over 1000× the data there)
+  *    vanishes.
   */
 object ScalingBench {
 
@@ -29,39 +37,50 @@ object ScalingBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt
-    // compute-dominated workload: at the default 256x replication the
-    // parallel fraction dwarfs the ~10s of fixed per-job latency that
-    // local-mode scheduling costs regardless of data size
     val rep = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICATION", "256").toInt
-    def once(cpus: Int): (Double, Long) = {
-      // fresh session per run: cache() entries registered inside the
-      // pipeline match by canonicalized plan, so a reused session would
-      // let a timed run silently consume the previous run's caches and
-      // measure only the post-cache stages
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+
+    def once(cpus: Int): (Double, Double, Long) = {
       val spark = session(cpus)
-      try Bench.runPipeline(spark, sfDir, rep)
-      finally {
+      try {
+        import spark.implicits._
+        val files = Bench.corpus(spark, sfDir, rep).as[SourceFile]
+        val t0 = System.nanoTime()
+        graft.pipeline.Pipeline.mentions(files).count()
+        val decodeSec = (System.nanoTime() - t0) / 1e9
+        val (fullSec, triples) = Bench.runPipeline(spark, sfDir, rep)
+        (fullSec, decodeSec, triples)
+      } finally {
         spark.catalog.clearCache()
         spark.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
       }
     }
-    def measure(cpus: Int): (Double, Long) = {
-      once(cpus) // warm-up (JIT, classload, codegen cache persist per JVM)
-      val r1 = once(cpus)
-      val r2 = once(cpus)
-      if (r1._1 < r2._1) r1 else r2 // best of 2 timed runs
+
+    once(lo); once(hi) // warm-up both levels (JIT/codegen caches)
+    val samples = (1 to rounds).flatMap { _ =>
+      Seq(lo -> once(lo), hi -> once(hi)) // interleaved
     }
-    val (loSec, triples) = measure(lo)
-    val (hiSec, _) = measure(hi)
+    def best(cpus: Int, f: ((Double, Double, Long)) => Double): Double =
+      samples.filter(_._1 == cpus).map(s => f(s._2)).min
+    val triples = samples.head._2._3
+    val loSec = best(lo, _._1); val hiSec = best(hi, _._1)
+    val loDec = best(lo, _._2); val hiDec = best(hi, _._2)
     val loTps = triples / loSec
     val hiTps = triples / hiSec
     val eff = hiTps / ((hi.toDouble / lo) * loTps)
+    val decEff = (loDec / hiDec) / (hi.toDouble / lo)
+    val allRuns = samples.map { case (c, (f, d, _)) =>
+      s"""{"cpus":$c,"full_sec":$f,"decode_sec":$d}"""
+    }.mkString("[", ",", "]")
     println(s"""{"metric":"scaling","sf":"$sfDir","triples":$triples,""" +
-      s""""replication":$rep,""" +
+      s""""replication":$rep,"rounds":$rounds,""" +
       s""""lo_cpus":$lo,"lo_sec":$loSec,"lo_triples_per_sec":$loTps,""" +
       s""""hi_cpus":$hi,"hi_sec":$hiSec,"hi_triples_per_sec":$hiTps,""" +
-      s""""scaling_efficiency":$eff}""")
+      s""""scaling_efficiency":$eff,""" +
+      s""""decode_lo_sec":$loDec,"decode_hi_sec":$hiDec,""" +
+      s""""decode_scaling_efficiency":$decEff,""" +
+      s""""runs":$allRuns}""")
   }
 }

@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges two LongType columns `src`, `dst` (undirected pairs)
+    * @param exactRounds when the caller KNOWS the graph diameter
+    *        (e.g. the linker's mention↔entity edges form bipartite
+    *        stars — diameter 2), run exactly that many rounds with no
+    *        convergence-count jobs: same labels, ~half the scheduling
+    *        overhead per round
     * @return (id: Long, component: Long) — component = min vertex id
     *         reachable; isolated vertices absent from `edges` are
     *         the caller's to union in. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      exactRounds: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
     // symmetrize + dedup once
     val sym = edges.select(col("src"), col("dst"))
@@ -40,6 +46,19 @@ object Components {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    exactRounds.foreach { n =>
+      var i = 0
+      while (i < n) {
+        val fromNeighbors = sym
+          .join(labels, sym("dst") === labels("id"))
+          .select(sym("src").as("id"), col("component"))
+        labels = fromNeighbors.union(labels)
+          .groupBy("id").agg(min("component").as("component"))
+          .localCheckpoint(i == n - 1) // eager only on the last round
+        i += 1
+      }
+      return labels
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -67,12 +86,12 @@ object Components {
 
   /** Map arbitrary string node ids to stable Longs (xxhash64 — 64-bit
     * collision odds negligible at any realistic node count) and back. */
-  def stringComponents(spark: SparkSession, edgePairs: DataFrame)
-      : DataFrame = {
+  def stringComponents(spark: SparkSession, edgePairs: DataFrame,
+      exactRounds: Option[Int] = None): DataFrame = {
     // edgePairs: (a: String, b: String)
     val e = edgePairs.select(
       xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
-    val comps = connectedComponents(e)
+    val comps = connectedComponents(e, exactRounds = exactRounds)
     val nodes = edgePairs.select(col("a").as("node"))
       .union(edgePairs.select(col("b").as("node"))).distinct()
       .withColumn("id", xxhash64(col("node")))

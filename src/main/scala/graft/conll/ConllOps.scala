@@ -147,6 +147,25 @@ object ConllOps {
       .select(col("f").getItem(0).as("word"),
         slice(col("f"), 2, dim).cast("array<double>").as("vec"))
 
+  /** Vocab→embedding lookup with the reference's lowercase fallback
+    * (utils/util.py:97-110: exact surface first, lowercased surface
+    * second, miss → null for the caller's init policy). Broadcast-size
+    * embedding tables join twice; both joins broadcast. */
+  def embeddingLookup(vocab: DataFrame, emb: DataFrame): DataFrame = {
+    val exact = emb.select(col("word").as("w_exact"),
+      col("vec").as("v_exact"))
+    val lower0 = emb.groupBy(lower(col("word")).as("w_lower"))
+      .agg(first(col("vec")).as("v_lower"))
+    vocab
+      .join(broadcast(exact), col("word") === col("w_exact"), "left")
+      .join(broadcast(lower0), lower(col("word")) === col("w_lower"),
+        "left")
+      .select(col("word"),
+        coalesce(col("v_exact"), col("v_lower")).as("vec"),
+        (col("v_exact").isNull && col("v_lower").isNotNull)
+          .as("used_fallback"))
+  }
+
   /** Inline CoNLL fixture (FIXTURES.md §B.1): deterministic, covers
     * B/I chains, orphan I-, adjacent B-X B-X, type switch, MISC,
     * all-caps, digits, internal periods. */

@@ -41,6 +41,22 @@ object TableIO {
   def read(spark: SparkSession, root: String, table: String): DataFrame =
     spark.read.parquet(s"$root/$table")
 
+  /** Content-derived snapshot id of an input corpus: order-independent
+    * fold (sum of xxhash64) over the per-row sha256(content) invariant
+    * column — the same input always resumes, any changed row forces
+    * recompute (north rule: per-row sha256 invariant + resumability,
+    * tied together). */
+  def snapshotId(files: DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    // decimal sum: a long sum overflows under ANSI mode at corpus scale
+    val r = files
+      .select(xxhash64(sha2(col("content"), 256))
+        .cast("decimal(38,0)").as("h"))
+      .agg(sum("h").as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    s"sha-${r.getDecimal(0).toBigInteger.toString(16)}-${r.getLong(1)}"
+  }
+
   /** Write a pipeline stage. Returns the (re-)read table so downstream
     * stages consume the checkpoint, not the lineage-heavy plan. */
   def writeStage(df: DataFrame, root: String, table: String,

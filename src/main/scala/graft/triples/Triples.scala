@@ -39,7 +39,12 @@ object Triples {
     val nodes = df.select(mentionNode.as("a"),
       when(col("entityId") =!= "NIL", entityNode).otherwise(mentionNode)
         .as("b"))
-    val comps = Components.stringComponents(spark, nodes)
+    // the link graph is bipartite stars by construction (every mention
+    // node has exactly one edge: to its entity node, or a self-loop) —
+    // diameter 2, so exactly 2 propagation rounds suffice and the
+    // convergence-count jobs are skipped
+    val comps = Components.stringComponents(spark, nodes,
+      exactRounds = Some(2))
     // canonical subject = lexicographically-min node string of the
     // component (stable across runs and partitionings, unlike raw
     // hash ids)

@@ -25,6 +25,22 @@ class ComponentsSpec extends SparkTestBase {
     assert(got.length == 31)
   }
 
+  test("exactRounds=2 equals the converging loop on bipartite stars") {
+    val s = spark
+    import s.implicits._
+    // stars: center 100 with leaves 1..4; center 200 with leaves 10,11
+    val edges = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      (10L, 200L), (11L, 200L), (30L, 30L)).toDF("src", "dst")
+    val general = Components.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bounded = Components.connectedComponents(edges,
+        exactRounds = Some(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bounded == general)
+    assert(bounded(100L) == 1L && bounded(4L) == 1L)
+    assert(bounded(200L) == 10L && bounded(30L) == 30L)
+  }
+
   test("string components via xxhash64 ids round-trip to node names") {
     val s = spark
     import s.implicits._
