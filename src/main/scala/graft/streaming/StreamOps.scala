@@ -72,6 +72,15 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming mention detection: the fused segment→featurize→Viterbi→
+    * extract kernel is stateless per file, so it lifts onto a
+    * `readStream` source unchanged — ingest-time entity extraction
+    * with no state store and no watermark needed (north-star ingest
+    * path; batch remains the contract). */
+  def streamingMentions(files: org.apache.spark.sql.Dataset[graft.core.SourceFile])
+      : org.apache.spark.sql.Dataset[graft.core.Mention] =
+    graft.pipeline.Pipeline.mentions(files)
+
   /** Batch twin of [[windowedCounts]] for parity tests: identical
     * logical transform applied to a bounded DataFrame. */
   def windowedCountsBatch(events: DataFrame): DataFrame =

@@ -48,11 +48,10 @@ object TextOps {
     * One narrow pass (no shuffle): signatures computed per row. */
   def minhashSignature(docs: DataFrame, k: Int = 8, numHashes: Int = 8)
       : DataFrame = {
-    val sh = expr(
-      s"transform(transform(sequence(1, greatest(size(split(text,' '))-${k - 1}, 0)), " +
-        s"i -> concat_ws(' ', slice(split(text,' '), i, $k))), s -> " +
-        s"aggregate(transform(split(s, ''), ch -> ascii(ch)), 0L, " +
-        s"(acc, x) -> pmod(acc * 31 + x, ${M}L)))")
+    // native shingle-hash expression: value-identical to the
+    // transform/aggregate column form (ShingleHashesSpec), one
+    // generated loop instead of per-char lambda dispatch
+    val sh = graft.functions.ShingleHashes.shingle_hashes(col("text"), k)
     val sig = (0 until numHashes).map { j =>
       val a = 2 * j + 3; val b = 7919 * (j + 1)
       array_min(transform(col("shs"),
@@ -89,10 +88,9 @@ object TextOps {
     * is 1 iff the majority of tokens have bit i set in their hash.
     * Pure column math (transform + aggregate over bit positions). */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val tokHashes = expr(
-      s"transform(split(text, ' '), s -> " +
-        s"aggregate(transform(split(s, ''), ch -> ascii(ch)), 0L, " +
-        s"(acc, x) -> pmod(acc * 31 + x, ${M}L)))")
+    // 1-token shingles == per-token rolling hashes
+    val tokHashes =
+      graft.functions.ShingleHashes.shingle_hashes(col("text"), 1)
     val bitSums = (0 until bits).map { i =>
       aggregate(col("ths"),
         lit(0L),

@@ -64,6 +64,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming mention detection == batch kernel on the same files") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val files = graft.core.Corpus.synthesize(spark, 25).collect().toSeq
+    val mem = MemoryStream[graft.core.SourceFile]
+    mem.addData(files: _*)
+    val q = StreamOps.streamingMentions(mem.toDS())
+      .writeStream.format("memory").queryName("sm")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("sm")
+      .orderBy("repo", "path", "sentIdx", "start")
+      .collect().map(_.toString).toSeq
+    val batch = graft.pipeline.Pipeline.mentions(files.toDS()).toDF()
+      .orderBy("repo", "path", "sentIdx", "start")
+      .collect().map(_.toString).toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming dedup drops repeated event ids within watermark") {
     val s = spark
     import s.implicits._
