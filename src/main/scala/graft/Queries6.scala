@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sixth batch: the SparkSessionExtensions SQL surface
+  * ([[graft.plans.GraftExtensions]]) driven end-to-end through
+  * `spark.sql` — the same path a spark-submit / thriftserver user
+  * takes — with DuckDB oracles on the results. Verify/Bench sessions
+  * enable the extension via `spark.sql.extensions`.
+  */
+object Queries6 {
+
+  private val M = graft.text.TextOps.M
+
+  private def duckHash(sExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($sExpr, ''), ch -> " +
+      s"CAST(ascii(ch) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $M)"
+
+  /** Extension-registered `rolling_hash` callable from plain SQL. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("ext_documents")
+    s.sql("""SELECT doc_id, rolling_hash(text) AS fp
+            |FROM ext_documents ORDER BY doc_id""".stripMargin)
+  }
+
+  private def o47: String =
+    s"""SELECT doc_id, ${duckHash("text")} AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Extension-registered `shingle_hashes(text, k)` from SQL; stats
+    * (count/min/max) keep the compared columns scalar. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView("ext_documents")
+    s.sql("""SELECT doc_id, CAST(size(sh) AS BIGINT) AS n_sh,
+            |  array_min(sh) AS sh_min, array_max(sh) AS sh_max
+            |FROM (SELECT doc_id, shingle_hashes(text, 2) AS sh
+            |      FROM ext_documents)
+            |ORDER BY doc_id""".stripMargin)
+  }
+
+  private def o48: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_transform(
+       |    [array_to_string(w[i:i+1], ' ')
+       |     for i in generate_series(1, greatest(len(w)-1, 0))],
+       |    s -> ${duckHash("s")}) AS shs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_sh,
+       |  list_min(shs) AS sh_min, list_max(shs) AS sh_max
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** `array_dot` from SQL, plus the column-math fold the
+    * [[graft.plans.NativeDotRewrite]] rule targets — both must agree
+    * with the oracle (and with each other) whether or not the rule
+    * fires on this input's nullability. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .createOrReplaceTempView("ext_embeddings")
+    s.sql(
+      """SELECT vec_id,
+        |  round(array_dot(v, v), 4) AS norm2_native,
+        |  round(aggregate(zip_with(v, v, (x, y) -> x * y), 0D,
+        |        (acc, x) -> acc + x), 4) AS norm2_sql
+        |FROM (SELECT vec_id,
+        |        transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM ext_embeddings)
+        |ORDER BY vec_id""".stripMargin)
+  }
+
+  private val o49 =
+    """SELECT vec_id,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(generate_series(1, len(embedding)),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+      |    (a, x) -> a + x), 4) AS norm2_native,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(generate_series(1, len(embedding)),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)),
+      |    (a, x) -> a + x), 4) AS norm2_sql
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_ext_sql_fingerprint" -> (q47 _),
+    "q48_ext_shingle_stats" -> (q48 _),
+    "q49_ext_sql_dot" -> (q49 _))
+
+  val oracles: Map[String, String] = Map(
+    "q47_ext_sql_fingerprint" -> o47,
+    "q48_ext_shingle_stats" -> o48,
+    "q49_ext_sql_dot" -> o49)
+}

@@ -26,7 +26,9 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++ Queries5.all
+    Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
+      Queries5.all ++ Queries6.all
 
-  def oracleSql: Map[String, String] = Queries.oracles ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++ Queries5.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ Queries2.oracles ++
+    Queries3.oracles ++ Queries4.oracles ++ Queries5.oracles ++ Queries6.oracles
 }
