@@ -52,6 +52,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT + codegen + parquet-footer warm-up at the smallest SF so the
+    // first timed queries don't carry one-time JVM costs; skipped if
+    // the warm-up dir is absent (or IS the bench dir).
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir && new java.io.File(warmDir).exists()) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
