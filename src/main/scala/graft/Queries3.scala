@@ -173,7 +173,7 @@ object Queries3 {
   // ---- vector similarity ----------------------------------------------
 
   private def q23(s: SparkSession, dir: String): DataFrame =
-    VectorOps.bruteForceTopK(t(s, dir, "embeddings"), k = 5)
+    VectorOps.bruteForceTopKKernel(t(s, dir, "embeddings"), k = 5)
       .orderBy("id_a", "rk")
 
   /** The oracle mirrors the Spark fold order exactly (index-order

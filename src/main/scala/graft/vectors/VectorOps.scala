@@ -49,7 +49,11 @@ object VectorOps {
   def bruteForceTopK(emb: DataFrame, k: Int = 5): DataFrame = {
     val u = withUnitVec(emb).select(
       col("vec_id"), col("unit")).localCheckpoint(true)
-    val a = u.select(col("vec_id").as("id_a"), col("unit").as("ua"))
+    // spread the probe side: a small-SF table is ONE split, and a
+    // broadcast nested-loop join inherits the probe's partitioning —
+    // without this the |V|² scan runs on a single core
+    val a = u.repartition(u.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("unit").as("ua"))
     val b = u.select(col("vec_id").as("id_b"), col("unit").as("ub"))
     val pairs = a.join(broadcast(b), col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -59,6 +63,74 @@ object VectorOps {
     pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("id_a"), col("id_b"), col("cos"), col("rk"))
+  }
+
+  /** Kernel twin of [[bruteForceTopK]]: same |V|² dot products, but
+    * the top-k selection runs as a bounded heap inside one
+    * `mapPartitions` pass instead of materializing |V|² join rows and
+    * window-sorting them — no shuffle at all, and the pair rows that
+    * lose never exist. Bit-identical output (same normalize-once unit
+    * vectors, same index-ascending dot fold, same HALF_UP round(4),
+    * same (cos desc, id_b asc) tie-break): the q23 oracle and the
+    * relational twin both confirm. Valid under exactly the same
+    * precondition as the broadcast in [[bruteForceTopK]] — |V|·d
+    * doubles must fit one executor; past that, LSH/IVF. */
+  def bruteForceTopKKernel(emb: DataFrame, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val u = withUnitVec(emb).select(col("vec_id"), col("unit"))
+      .as[(Long, Seq[Double])]
+    val all: Array[(Long, Array[Double])] =
+      u.collect().map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val bAll = spark.sparkContext.broadcast(all)
+    // a small-SF embeddings table arrives as ONE parquet split; the
+    // probe side must spread across cores or the whole |V|² scan runs
+    // single-threaded (2000 rows is 1 input partition but 4M dots)
+    u.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+      val vs = bAll.value
+      it.flatMap { case (idA, uaSeq) =>
+        val ua = uaSeq.toArray
+        // bounded selection: worst-first ordering so the head is the
+        // candidate to evict; (cos desc, id_b asc) = keep the entry
+        // with LOWER cos (or equal cos and HIGHER id) as "worse"
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by { case (cos, idB) => (-cos, idB) })
+        var j = 0
+        while (j < vs.length) {
+          val (idB, ub) = vs(j)
+          if (idB != idA) {
+            var d = 0.0; var i = 0
+            val n = math.min(ua.length, ub.length)
+            while (i < n) { d += ua(i) * ub(i); i += 1 }
+            // round only contenders: if d is more than one 4-dp
+            // rounding step below the current worst, round(d) < worst
+            // is certain and the candidate cannot place (even on the
+            // id tie-break, which needs equal rounded cos)
+            if (heap.size < k || d >= heap.head._1 - 6e-5) {
+              // valueOf (decimal-string repr), not new BigDecimal(d):
+              // Spark's Round on DoubleType goes through
+              // BigDecimal(double) == valueOf semantics
+              val cos = java.math.BigDecimal.valueOf(d)
+                .setScale(4, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+              if (heap.size < k) heap.enqueue((cos, idB))
+              else {
+                val (wc, wi) = heap.head
+                if (cos > wc || (cos == wc && idB < wi)) {
+                  heap.dequeue(); heap.enqueue((cos, idB))
+                }
+              }
+            }
+          }
+          j += 1
+        }
+        val ranked: Seq[(Double, Long)] = heap.dequeueAll.reverse
+        ranked.zipWithIndex.map {
+          case ((cos, idB), rk0) => (idA, idB, cos, rk0 + 1)
+        }
+      }
+    }.toDF("id_a", "id_b", "cos", "rk")
   }
 
   /** Deterministic pseudo-random hyperplane: component j of plane p =
@@ -107,7 +179,10 @@ object VectorOps {
   def cosineNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     val u = withUnitVec(emb).select(col("vec_id"), col("unit"))
       .localCheckpoint(true)
-    val a = u.select(col("vec_id").as("id_a"), col("unit").as("ua"))
+    // same probe-side spread as bruteForceTopK: BNLJ parallelism =
+    // probe partitions
+    val a = u.repartition(u.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("unit").as("ua"))
     val b = u.select(col("vec_id").as("id_b"), col("unit").as("ub"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

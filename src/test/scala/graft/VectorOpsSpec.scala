@@ -72,6 +72,20 @@ class VectorOpsSpec extends SparkTestBase {
     }
   }
 
+  test("top-k kernel == relational window twin, row for row") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(dir).exists()) {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.orderBy("id_a", "rk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3))).toSeq
+      assert(key(VectorOps.bruteForceTopKKernel(e, 5).select(
+          col("id_a"), col("id_b"), col("cos"), col("rk"))) ==
+        key(VectorOps.bruteForceTopK(e, 5)))
+    }
+  }
+
   test("cosine near-dup finds only the tight same-direction pairs") {
     val pairs = VectorOps.cosineNearDup(emb, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
