@@ -82,13 +82,26 @@ object Queries6 {
       |    (a, x) -> a + x), 4) AS norm2_sql
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** Large-star/small-star contraction over the same near-dup graph
+    * as q12 — identical labels, O(log² n) rounds instead of
+    * O(diameter); the oracle is q12's recursive-CTE closure verbatim. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val edges = Queries2.all("q11_near_dup_pairs")(s, dir)
+      .select(org.apache.spark.sql.functions.col("doc_a").as("src"),
+        org.apache.spark.sql.functions.col("doc_b").as("dst"))
+    graft.canon.Components.connectedComponentsStar(edges)
+      .select("id", "component").orderBy("id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_ext_sql_fingerprint" -> (q47 _),
     "q48_ext_shingle_stats" -> (q48 _),
-    "q49_ext_sql_dot" -> (q49 _))
+    "q49_ext_sql_dot" -> (q49 _),
+    "q53_cc_star" -> (q53 _))
 
   val oracles: Map[String, String] = Map(
     "q47_ext_sql_fingerprint" -> o47,
     "q48_ext_shingle_stats" -> o48,
-    "q49_ext_sql_dot" -> o49)
+    "q49_ext_sql_dot" -> o49,
+    "q53_cc_star" -> Queries2.oracles("q12_conn_components"))
 }

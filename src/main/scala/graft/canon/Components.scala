@@ -84,6 +84,90 @@ object Components {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond" — public algorithm): O(log² n) rounds
+    * regardless of graph diameter, vs O(diameter) for
+    * [[connectedComponents]]. Same output contract (component = min
+    * node id; nodes appearing in `edges` only).
+    *
+    * This is the scale path for adversarial graphs (a 10^9-node chain
+    * is 10^9 propagation rounds but ~60 contraction rounds); the
+    * propagation variant stays the default because canonicalization
+    * graphs are near-stars (diameter ≤ ~4), where its single
+    * shuffle-per-round beats contraction's three.
+    *
+    *  - large-star: every node links its larger neighbors to the min
+    *    of its neighborhood — emitted edges always point high→low;
+    *  - small-star: every node links its smaller neighbors (and
+    *    itself) to the smallest of them;
+    *  - converged when the canonical edge set's (count, hash-sum)
+    *    fingerprint is stable → the graph is a star forest and labels
+    *    read off as min(dst) per src;
+    *  - per-round `localCheckpoint` cuts lineage exactly like the
+    *    propagation loop.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 50)
+      : DataFrame = {
+    val allNodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      val m = sym.groupBy("src")
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      sym.join(m, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+          greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val m = dir.groupBy("src").agg(min(col("dst")).as("m"))
+      val withM = dir.join(m, "src")
+      withM.select(col("src"), col("m").as("dst"))
+        .union(withM.where(col("dst") =!= col("m"))
+          .select(col("dst").as("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: xor cannot overflow under ANSI mode and is
+      // set-order independent (the edge set is distinct by invariant)
+      val r = e.select(
+        greatest(col("src"), col("dst")).as("a"),
+        least(col("src"), col("dst")).as("b"))
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var e = edges.where(col("src") =!= col("dst")).localCheckpoint()
+    var fp = fingerprint(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val nfp = fingerprint(e)
+      converged = nfp == fp
+      fp = nfp
+      iter += 1
+    }
+    val nonRoots = e.select(
+        greatest(col("src"), col("dst")).as("id"),
+        least(col("src"), col("dst")).as("component"))
+      .groupBy("id").agg(min("component").as("component"))
+    allNodes.join(nonRoots, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Map arbitrary string node ids to stable Longs (xxhash64 — 64-bit
     * collision odds negligible at any realistic node count) and back. */
   def stringComponents(spark: SparkSession, edgePairs: DataFrame,

@@ -41,6 +41,44 @@ class ComponentsSpec extends SparkTestBase {
     assert(bounded(200L) == 10L && bounded(30L) == 30L)
   }
 
+  test("star contraction == propagation on known / chain / random graphs") {
+    val s = spark
+    import s.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      // mixed known graph incl. self-loop
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (30L, 30L)),
+      // 41-node chain: diameter stress (the case contraction exists for)
+      (0L until 40L).map(i => (i, i + 1)),
+      // two cliques bridged + a star with a high-id center
+      (for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)) ++
+        (for (a <- 50L to 54L; b <- 50L to 54L if a < b) yield (a, b)) ++
+        Seq((4L, 50L)) ++ (100L to 105L).map(v => (999L, v)),
+      // seeded random graph (sparse -> several components)
+      { val rng = new scala.util.Random(7)
+        Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong)) },
+      // negative ids (xxhash64 territory): min must respect signs
+      Seq((-5L, 3L), (3L, 9L), (-100L, -90L)))
+    cases.zipWithIndex.foreach { case (es, i) =>
+      val edges = es.toDF("src", "dst")
+      assert(labels(Components.connectedComponentsStar(edges)) ==
+        labels(Components.connectedComponents(edges)), s"case $i")
+    }
+  }
+
+  test("star contraction round count is logarithmic on a long chain") {
+    val s = spark
+    import s.implicits._
+    // 64-node chain: propagation needs 63 rounds; contraction must
+    // finish well inside 12 (log2(64)^2/3 style bound, not diameter)
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponentsStar(edges, maxIter = 12)
+      .collect()
+    assert(got.forall(_.getLong(1) == 0L) && got.length == 64)
+  }
+
   test("string components via xxhash64 ids round-trip to node names") {
     val s = spark
     import s.implicits._
