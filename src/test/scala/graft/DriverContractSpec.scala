@@ -1,0 +1,29 @@
+package graft
+
+/** Guards the driver contract itself: entry() smoke, queries/oracle
+  * map consistency. A regression here zeroes a whole round even if
+  * every operator is correct, so it gets its own spec. */
+class DriverContractSpec extends SparkTestBase {
+
+  test("entry() returns rows on sf0.001 (driver smoke check)") {
+    if (new java.io.File("/root/testdata/sf0.001").exists()) {
+      assert(SparkEntry.entry(spark).count() > 0)
+    }
+  }
+
+  test("every oracle key has a queries entry; no empty SQL") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql
+    assert(os.keySet.subsetOf(qs),
+      s"orphan oracles: ${os.keySet -- qs}")
+    assert(os.values.forall(_.trim.nonEmpty))
+  }
+
+  test("query ids are unique across Queries* batches") {
+    val batches = Seq(Queries.all, Queries2.all, Queries3.all,
+      Queries4.all, Queries5.all, Queries6.all)
+    val total = batches.map(_.size).sum
+    assert(SparkEntry.queries.size == total,
+      "duplicate query id silently shadowed across batches")
+  }
+}
