@@ -74,6 +74,45 @@ object Multimodal {
     }
   }
 
+  /** Batched twin of [[extractFeatures]] with the `mapInPandas` batch
+    * shape: the decode kernel receives a COLUMNAR BATCH (parallel
+    * arrays of ids/kinds/payloads, like Arrow record batches /
+    * pandas frames), not single rows — the signature a vectorized
+    * decoder (GPU codec, JNI batch call) needs. Output re-flattens to
+    * rows; batch boundaries must not affect results
+    * (MultimodalSpec asserts equality across batch sizes). */
+  def extractFeaturesBatched(media: Dataset[MediaRow],
+      batchSize: Int = 256, thumbLen: Int = 16)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { rows =>
+        // columnarize: the "record batch" handed to the kernel
+        val ids = rows.iterator.map(_.media_id).toArray
+        val kinds = rows.iterator.map(_.kind).toArray
+        val payloads = rows.iterator.map(_.payload).toArray
+        decodeBatchStub(ids, kinds, payloads, thumbLen)
+      }
+    }
+  }
+
+  /** ==== STUB (batch form) ==== a real vectorized decoder processes
+    * the whole payload batch in one call; the fake applies the
+    * per-row stub so batched == row-wise by construction. */
+  def decodeBatchStub(ids: Array[Long], kinds: Array[String],
+      payloads: Array[Array[Byte]], thumbLen: Int)
+      : Iterator[MediaFeatures] =
+    ids.indices.iterator.map { i =>
+      val bytes = payloads(i)
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+      MediaFeatures(ids(i), kinds(i), bytes.length,
+        math.rint(mean * 10000) / 10000,
+        bytes.map(_ & 0xff).toSet.size.toLong,
+        decodeStub(bytes, thumbLen))
+    }
+
   /** Metadata/agg view (pure relational over the binary column):
     * per-kind blob count, total bytes, mean payload size. */
   def stats(media: DataFrame): DataFrame =

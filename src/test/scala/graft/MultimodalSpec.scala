@@ -32,6 +32,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(st.map(_.getLong(1)).sum == 90)
   }
 
+  test("batched (mapInPandas-shaped) extraction == row-wise, any batch size") {
+    val media = Multimodal.synthesize(spark, 47)
+    def norm(fs: Array[graft.multimodal.Multimodal.MediaFeatures]) =
+      fs.sortBy(_.media_id).map(f => (f.media_id, f.kind, f.n_bytes,
+        f.byte_mean, f.byte_entropy_q, f.thumb.toSeq)).toSeq
+    val rowWise = norm(Multimodal.extractFeatures(media).collect())
+    for (bs <- Seq(1, 3, 1000)) {
+      assert(norm(Multimodal.extractFeaturesBatched(media, batchSize = bs)
+        .collect()) == rowWise, s"batchSize=$bs")
+    }
+  }
+
   test("decode stub: frame-sampling shape") {
     val payload = (0 until 100).map(_.toByte).toArray
     val thumb = Multimodal.decodeStub(payload, 10)

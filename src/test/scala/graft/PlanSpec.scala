@@ -56,5 +56,14 @@ class PlanSpec extends SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan.take(400))
     assert(!plan.contains("CodegenFallback"))
+
+    val q2 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        graft.functions.RollingHash.rolling_hash(col("text")).as("rh"),
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), 3)
+          .as("sh"))
+    val plan2 = q2.queryExecution.executedPlan.toString
+    assert(plan2.contains("*(1) Project"), plan2.take(400))
+    assert(!plan2.contains("CodegenFallback"))
   }
 }
