@@ -93,15 +93,60 @@ object Queries6 {
       .select("id", "component").orderBy("id")
   }
 
+  /** The reference's ex_morph gloss algebra (18 features,
+    * segnerfts.py:104-115/706-728) over every distinct token, run with
+    * the deterministic suffix-stub analyzer (the real orm/tir
+    * analyzers need offline-impossible resources — Morph scaladoc);
+    * the oracle re-states parse → gloss-split → union → set-intersect
+    * in DuckDB. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val words = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .distinct().as[String]
+    val analyzer = graft.features.Morph.forLang("orm")
+    val names = graft.features.Morph.featureNames
+    val wide = words.map { w =>
+      (w, graft.features.Morph.features(w, analyzer)
+        .map(b => if (b) 1L else 0L))
+    }.toDF("word", "f")
+    wide.select(col("word") +:
+      names.zipWithIndex.map { case (n, i) => col("f")(i).as(n) }: _*)
+      .orderBy("word")
+  }
+
+  private def o54: String = {
+    val glParts = graft.features.Morph.stubTable.map { case (suf, gloss) =>
+      val l = suf.length
+      val tags = gloss.split("[-.]").map(t => s"'$t'").mkString(", ")
+      s"(CASE WHEN len(word) > $l AND ends_with(lower(word), '$suf') " +
+        s"THEN regexp_split_to_array(substr(word, 1, len(word)-$l), " +
+        s"'[-.]') || [$tags] ELSE []::VARCHAR[] END)"
+    }.mkString(" || ") // single line: stripMargin would eat a leading |
+    val cols = graft.features.Morph.featureNames
+      .zip(graft.features.Morph.featureSets).map { case (n, fs) =>
+        val lst = fs.toSeq.sorted.map(t => s"'$t'").mkString(", ")
+        s"CAST(list_has_any(gl, [$lst]) AS BIGINT) AS $n"
+      }.mkString(",\n  ")
+    s"""WITH w AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |g AS (SELECT word, $glParts AS gl FROM w)
+       |SELECT word, $cols FROM g ORDER BY word""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_ext_sql_fingerprint" -> (q47 _),
     "q48_ext_shingle_stats" -> (q48 _),
     "q49_ext_sql_dot" -> (q49 _),
-    "q53_cc_star" -> (q53 _))
+    "q53_cc_star" -> (q53 _),
+    "q54_morph_features" -> (q54 _))
 
   val oracles: Map[String, String] = Map(
     "q47_ext_sql_fingerprint" -> o47,
     "q48_ext_shingle_stats" -> o48,
     "q49_ext_sql_dot" -> o49,
-    "q53_cc_star" -> Queries2.oracles("q12_conn_components"))
+    "q53_cc_star" -> Queries2.oracles("q12_conn_components"),
+    "q54_morph_features" -> o54)
 }
