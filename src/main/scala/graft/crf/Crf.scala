@@ -158,6 +158,73 @@ object Crf {
     path
   }
 
+  private def logSumExp(xs: Array[Double]): Double = {
+    var mx = xs(0); var i = 1
+    while (i < xs.length) { if (xs(i) > mx) mx = xs(i); i += 1 }
+    if (mx == Double.NegativeInfinity) return mx
+    var s = 0.0; i = 0
+    while (i < xs.length) { s += math.exp(xs(i) - mx); i += 1 }
+    mx + math.log(s)
+  }
+
+  /** Forward algorithm — the CRF log-partition (decoders.py:66-93,
+    * log_sum_exp_dim_0 util.py:130-143). Train-only in the reference
+    * (the denominator of the NLL loss); provided for completeness so a
+    * max-likelihood fit has its kernels. One delta, documented: the
+    * reference lets the sum range over virtual START/END mid-path and
+    * relies on −1000 walls to suppress them (their e^-1000 mass
+    * underflows to zero in float anyway); this sums over real-tag
+    * paths exactly — same value, cleaner math, and the brute-force
+    * twin in CrfLossSpec enumerates the identical path space. */
+  def forward(emissions: Array[Array[Float]],
+      trans: Array[Array[Float]]): Double = {
+    val T = emissions.length
+    require(T > 0, "forward of an empty sentence is undefined")
+    var alpha = Array.tabulate(K)(to =>
+      (trans(START)(to) + emissions(0)(to)).toDouble)
+    val buf = new Array[Double](K)
+    var t = 1
+    while (t < T) {
+      val next = new Array[Double](K)
+      var to = 0
+      while (to < K) {
+        var from = 0
+        while (from < K) {
+          buf(from) = alpha(from) + trans(from)(to)
+          from += 1
+        }
+        next(to) = logSumExp(buf) + emissions(t)(to)
+        to += 1
+      }
+      alpha = next
+      t += 1
+    }
+    var tag = 0
+    while (tag < K) { buf(tag) = alpha(tag) + trans(tag)(END); tag += 1 }
+    logSumExp(buf)
+  }
+
+  /** Gold-path score (decoders.py:95-108): START-prefixed transition
+    * chain + emissions + terminal T(last, END). */
+  def goldScore(emissions: Array[Array[Float]],
+      trans: Array[Array[Float]], tags: Array[Int]): Double = {
+    require(tags.length == emissions.length && tags.nonEmpty)
+    var s = (trans(START)(tags(0)) + emissions(0)(tags(0))).toDouble
+    var t = 1
+    while (t < tags.length) {
+      s += trans(tags(t - 1))(tags(t)) + emissions(t)(tags(t))
+      t += 1
+    }
+    s + trans(tags.last)(END)
+  }
+
+  /** Per-sentence CRF negative log-likelihood
+    * (decoders.py:110-140: forward − gold; the reference's unused
+    * `interp_crf_score` branch is dead code and not implemented). */
+  def nll(emissions: Array[Array[Float]],
+      trans: Array[Array[Float]], tags: Array[Int]): Double =
+    forward(emissions, trans) - goldScore(emissions, trans, tags)
+
   /** Brute-force exact decode for property tests (enumerates all K^T
     * paths). Tie-break matches the DP's first-max backtrace exactly:
     * among max-score paths, the one whose REVERSED tag sequence is
