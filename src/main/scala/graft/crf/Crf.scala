@@ -285,15 +285,21 @@ object Crf {
   /** The fused featurize→emit→Viterbi kernel: one narrow mapPartitions
     * stage, broadcast weights, no shuffle (SURVEY.md §4 custom piece 1).
     * Scales linearly with cores — zero cross-sentence state. */
-  def tag(sentences: Dataset[Sentence]): Dataset[TaggedSentence] = {
+  def tag(sentences: Dataset[Sentence]): Dataset[TaggedSentence] =
+    tag(sentences, emissionWeights, transitions)
+
+  /** Same kernel with explicit weights — the serve path for a model
+    * trained by [[CrfTrainer]] / loaded via [[graft.io.ModelIO]]. */
+  def tag(sentences: Dataset[Sentence], w: Array[Array[Float]],
+      tr: Array[Array[Float]]): Dataset[TaggedSentence] = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    val bW = spark.sparkContext.broadcast(emissionWeights)
-    val bT = spark.sparkContext.broadcast(transitions)
+    val bW = spark.sparkContext.broadcast(w)
+    val bT = spark.sparkContext.broadcast(tr)
     val bGaz = spark.sparkContext.broadcast(Dict.gazIndex)
     sentences.mapPartitions { it =>
-      val w = bW.value; val tr = bT.value; val gaz = bGaz.value
-      it.map(decodeSentence(_, w, tr, gaz))
+      val w0 = bW.value; val tr0 = bT.value; val gaz = bGaz.value
+      it.map(decodeSentence(_, w0, tr0, gaz))
     }
   }
 }

@@ -85,5 +85,20 @@ class CrfTrainerSpec extends SparkTestBase {
     }
     val acc = ok.toDouble / tot
     assert(acc > 0.97, s"token accuracy $acc (n=$tot)")
+
+    // train -> save -> load -> serve: the full model lifecycle
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-trained").toString + "/model"
+    graft.io.ModelIO.save(spark, graft.crf.Ensemble.Model(w, tr), dir)
+    val loaded = graft.io.ModelIO.load(spark, dir)
+    val served = Crf.tag(sentences, loaded.emissions, loaded.transitions)
+      .collect().sortBy(ts => (ts.path, ts.sentIdx))
+      .map(_.tags.mkString(" ")).toSeq
+    val direct = goldLocal.sortBy(ts => (ts.path, ts.sentIdx)).map { ts =>
+      val masks = Features.sentenceBits(ts.tokens, gaz)
+      Crf.viterbi(masks.map(Crf.emit(_, w)), tr)
+        .map(Dict.tags).mkString(" ")
+    }.toSeq
+    assert(served == direct, "loaded model must serve the same decode")
   }
 }
