@@ -23,6 +23,31 @@ class EnsembleSpec extends SparkTestBase {
     assert(ens.nonEmpty)
   }
 
+  test("full ensemble workflow: split -> train K -> average -> decode") {
+    val s = spark
+    import s.implicits._
+    val sentences = Segmenter.sentences(
+      Corpus.synthesize(spark, 30).as[SourceFile])
+    val gold = Crf.tag(sentences)
+    val labeled = graft.crf.CrfTrainer.labeled(gold)
+    val splits = graft.conll.Scans.ensembleSplit(labeled.toDF(), 3)
+    val models = splits.toSeq.map { df =>
+      val (w, tr, _) = graft.crf.CrfTrainer.train(
+        df.as[graft.crf.CrfTrainer.LabeledSentence], epochs = 15)
+      Ensemble.Model(w, tr)
+    }
+    val avg = Ensemble.average(models)
+    val served = Crf.tag(sentences, avg.emissions, avg.transitions)
+      .collect().sortBy(ts => (ts.path, ts.sentIdx))
+    val teacher = gold.collect().sortBy(ts => (ts.path, ts.sentIdx))
+    val (ok, tot) = served.zip(teacher).foldLeft((0L, 0L)) {
+      case ((o, t), (a, b)) =>
+        (o + a.tags.zip(b.tags).count(p => p._1 == p._2), t + a.tags.length)
+    }
+    assert(tot > 0 && ok.toDouble / tot > 0.95,
+      s"ensemble-of-trained decode acc ${ok.toDouble / tot}")
+  }
+
   test("average is the element-wise mean") {
     val half = Ensemble.Model(
       Crf.emissionWeights.map(_.map(_ * 0f)),
