@@ -81,6 +81,15 @@ object StreamOps {
       : org.apache.spark.sql.Dataset[graft.core.Mention] =
     graft.pipeline.Pipeline.mentions(files)
 
+  /** Streaming entity linking: like the decode kernel, the linker is a
+    * stateless narrow map over a broadcast dictionary, so the whole
+    * ingest-time path corpus → mentions → linked mentions runs under
+    * Structured Streaming with no state store. Canonicalization stays
+    * batch (iterative global joins — SURVEY §2.10's batch contract). */
+  def streamingLinkedMentions(files: org.apache.spark.sql.Dataset[graft.core.SourceFile])
+      : org.apache.spark.sql.Dataset[graft.link.Linker.LinkedMention] =
+    graft.link.Linker.link(streamingMentions(files))
+
   /** Batch twin of [[windowedCounts]] for parity tests: identical
     * logical transform applied to a bounded DataFrame. */
   def windowedCountsBatch(events: DataFrame): DataFrame =

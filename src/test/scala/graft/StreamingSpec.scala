@@ -85,6 +85,27 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.nonEmpty)
   }
 
+  test("streaming linking == batch linker on the same files") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val files = graft.core.Corpus.synthesize(spark, 20).collect().toSeq
+    val mem = MemoryStream[graft.core.SourceFile]
+    mem.addData(files: _*)
+    val q = StreamOps.streamingLinkedMentions(mem.toDS())
+      .writeStream.format("memory").queryName("sl")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val key = Seq("repo", "path", "sentIdx", "start")
+    val stream = spark.table("sl").orderBy(key.head, key.tail: _*)
+      .collect().map(_.toString).toSeq
+    val batch = graft.link.Linker.link(
+        graft.pipeline.Pipeline.mentions(files.toDS())).toDF()
+      .orderBy(key.head, key.tail: _*)
+      .collect().map(_.toString).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("streaming dedup drops repeated event ids within watermark") {
     val s = spark
     import s.implicits._
