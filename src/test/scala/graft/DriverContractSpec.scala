@@ -19,6 +19,18 @@ class DriverContractSpec extends SparkTestBase {
     assert(os.values.forall(_.trim.nonEmpty))
   }
 
+  test("every gate query executes at sf0.001 (no-throw smoke)") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(dir).exists()) {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, dir).count(); None }
+          catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    }
+  }
+
   test("query ids are unique across Queries* batches") {
     val batches = Seq(Queries.all, Queries2.all, Queries3.all,
       Queries4.all, Queries5.all, Queries6.all)
