@@ -125,11 +125,20 @@ object Components {
         .distinct()
     }
 
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(
-          greatest(col("src"), col("dst")).as("src"),
-          least(col("src"), col("dst")).as("dst"))
-        .where(col("src") =!= col("dst")).distinct()
+    // input invariant: directed high→low and distinct (largeStar
+    // emits (v, m) with v > u ≥ m and dedups; the pre-loop normalize
+    // establishes it for round 1) — so the usual normalize+distinct
+    // shuffle is skipped here, one fewer exchange per round
+    def smallStar(e0: DataFrame): DataFrame = {
+      // input invariant: already distinct and high→low, so the
+      // normalize is a no-op RESHAPE kept only as a projection barrier
+      // (a bare self-referential union/join tree trips Catalyst's
+      // union-constraint rewrite); crucially there is NO distinct here
+      // — that shuffle is what the invariant saves, one exchange per
+      // round
+      val dir = e0.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       val m = dir.groupBy("src").agg(min(col("dst")).as("m"))
       val withM = dir.join(m, "src")
       withM.select(col("src"), col("m").as("dst"))
@@ -148,7 +157,10 @@ object Components {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var e = edges.where(col("src") =!= col("dst")).localCheckpoint()
+    var e = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
     var fp = fingerprint(e)
     var iter = 0
     var converged = false
