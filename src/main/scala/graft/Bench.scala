@@ -71,10 +71,17 @@ object Bench {
     val tps = if (pipeSec > 0) triples / pipeSec else 0.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"pipeline_triples_per_sec","value":$tps,""" +
+    val json = s"""{"metric":"pipeline_triples_per_sec","value":$tps,""" +
       s""""unit":"triples/sec","pipeline_sec":$pipeSec,""" +
       s""""triples":$triples,"replication":$replication,""" +
-      s""""cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+      s""""cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces for the driver contract: sbt may decorate stdout
+    // (round-1 BENCH parsed:null), so the bare metric line also lands in
+    // a known file next to the build.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

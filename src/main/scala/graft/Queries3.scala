@@ -164,9 +164,12 @@ object Queries3 {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
        |sig AS (SELECT doc_id, $mh FROM sh WHERE len(shs) > 0),
        |banded AS (
-       |  $bandRows)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM banded a JOIN banded b ON a.bh = b.bh AND a.doc_id < b.doc_id
+       |  $bandRows),
+       |reps AS (
+       |  SELECT bh, min(doc_id) AS doc_a
+       |  FROM banded GROUP BY bh HAVING count(*) > 1)
+       |SELECT DISTINCT r.doc_a, b.doc_id AS doc_b
+       |FROM banded b JOIN reps r USING (bh) WHERE b.doc_id <> r.doc_a
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

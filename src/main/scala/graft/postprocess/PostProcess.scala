@@ -32,16 +32,36 @@ final case class Cand(sIdx: Int, s0: Int, e0: Int, text: String, tag: String)
 
 object PostProcess {
 
-  /** Stage 1: lookup-table fix-up (post_process.py:139-157) —
-    * broadcast map relabel, narrow. */
-  def lookupFixup(mentions: Dataset[Mention]): Dataset[Mention] = {
+  /** Stage 1: lookup-table fix-up with the reference's full precedence
+    * (post_process.py:117-122, 139-157): for DF-genre docs a span found
+    * in the author list relabels to PER BEFORE the general lookup table
+    * is consulted; otherwise lookup > predicted. Genre is derived from
+    * the doc id exactly as the reference does (`doc_id.split('_')[1]`,
+    * post_process.py:146) — our doc id is the mention's `path`; paths
+    * without a second '_' field carry no genre and skip the author
+    * branch. Authors match on exact surface (the reference's
+    * `span in author_lookup` — WL XML author values, extract_authors.py
+    * :6-26); the lookup table stays canonicalized-lowercase as
+    * established. Both tables are corpus-size-independent broadcasts;
+    * the stage is narrow. */
+  def lookupFixup(mentions: Dataset[Mention],
+      authors: Set[String] = Set.empty): Dataset[Mention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
     val bLookup = spark.sparkContext.broadcast(Dict.lookupTable)
+    val bAuthors = spark.sparkContext.broadcast(authors)
     mentions.mapPartitions { it =>
       val lookup = bLookup.value
+      val auth = bAuthors.value
       it.map { m =>
-        lookup.get(m.text.toLowerCase) match {
+        val genre = {
+          val f = m.path.split('_')
+          if (f.length > 1) f(1) else ""
+        }
+        val fixed =
+          if (genre == "DF" && auth.contains(m.text)) Some("PER")
+          else lookup.get(m.text.toLowerCase)
+        fixed match {
           case Some(tag) if tag != m.tag => m.copy(tag = tag)
           case _ => m
         }
@@ -59,9 +79,12 @@ object PostProcess {
     import spark.implicits._
     // materialize once: the vote aggregation and the relabel join both
     // consume `df`; without this the whole upstream decode pipeline
-    // would recompute per consumer (2x per stage, 8x chained). cache()
-    // (lazy) not localCheckpoint (eager): no extra materialization job
-    val df = mentions.toDF().cache()
+    // would recompute per consumer (2x per stage, 8x chained). Lazy
+    // localCheckpoint, not cache(): block lifetime is tied to the RDD
+    // reference (ContextCleaner frees it after downstream consumes),
+    // so chained stages / repeated runs don't accumulate pinned storage
+    // in the session CacheManager.
+    val df = mentions.toDF().localCheckpoint(false)
     val votes = df
       .groupBy(col("repo"), col("path"), lower(col("text")).as("key"),
         col("tag"))
@@ -97,7 +120,9 @@ object PostProcess {
       : Dataset[Mention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val df = mentions.toDF().cache()
+    // lazy localCheckpoint for the same no-pinned-storage reason as
+    // withinDocVote
+    val df = mentions.toDF().localCheckpoint(false)
       .withColumn("key", lower(col("text")))
     val top = df.groupBy("key").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("key")).limit(topK)
@@ -184,7 +209,9 @@ object PostProcess {
 
   /** Full reference post-processing chain (main.py:357-376 order). */
   def apply(sentences: Dataset[Sentence], mentions: Dataset[Mention],
-      confNum: Int = 2, topK: Int = 20): Dataset[Mention] =
+      confNum: Int = 2, topK: Int = 20,
+      authors: Set[String] = Set.empty): Dataset[Mention] =
     insertFromLookup(sentences,
-      crossDocVote(withinDocVote(lookupFixup(mentions), confNum), topK))
+      crossDocVote(withinDocVote(lookupFixup(mentions, authors), confNum),
+        topK))
 }

@@ -63,23 +63,32 @@ object TextOps {
   }
 
   /** LSH banding: docs sharing any band (of `rows` consecutive minhash
-    * values) become candidate pairs. Scale path for near-dup: the only
-    * shuffle keys on the band hash, so cost is O(docs·bands), never
-    * O(docs²) — the all-pairs join happens only within buckets. */
+    * values) become candidates. Star pairing per bucket: every member
+    * links to the bucket's MIN doc_id instead of to every other member,
+    * so a bucket of c near-identical docs (the boilerplate/licence-file
+    * case that dominates a 100 TB corpus) emits c−1 pairs, not c(c−1)/2
+    * — total output is O(docs·bands) by construction, with the SAME
+    * connected components as the all-pairs candidate graph (every
+    * bucket stays one component through its representative), which is
+    * the invariant dedup clustering consumes. Shuffles key on the band
+    * hash only. */
   def lshCandidates(docs: DataFrame, k: Int = 8, numHashes: Int = 8,
       bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val sig = minhashSignature(docs, k, numHashes)
-    val banded = sig.select(col("doc_id"), posexplode(array(
+    // bh strings embed the band index, so bh alone is the bucket key
+    val banded = sig.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
         concat_ws("_", lit(b) +:
           (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      }: _*)).as(Seq("band", "bh")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      }: _*)).as("bh"))
+    val reps = banded.groupBy("bh")
+      .agg(min("doc_id").as("doc_a"), count(lit(1)).as("sz"))
+      .filter(col("sz") > 1)
+      .drop("sz")
+    banded.join(reps, Seq("bh"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
   }
 
   // ---- SimHash -------------------------------------------------------

@@ -29,13 +29,14 @@ object Triples {
     * The docId carries repo/path so output can partition by repo. */
   def materialize(linked: Dataset[LinkedMention]): DataFrame = {
     val spark = linked.sparkSession
-    val df = linked.toDF().cache()
     // materialization barrier: the CC loop and the subject join each
-    // spawn exchange subtrees over `df`; if the cache is cold they race
-    // to compute the whole upstream pipeline concurrently (observed as
-    // tasks blocked on each other's block locks + duplicated compute).
-    // One eager pass populates the cache before fan-out.
-    df.count()
+    // spawn exchange subtrees over `df`; if the blocks are cold they
+    // race to compute the whole upstream pipeline concurrently (observed
+    // as tasks blocked on each other's block locks + duplicated
+    // compute). Eager localCheckpoint materializes once before fan-out
+    // AND ties block lifetime to this RDD (ContextCleaner frees it when
+    // the plan is dropped) instead of pinning the session CacheManager.
+    val df = linked.toDF().localCheckpoint(true)
     val nodes = df.select(mentionNode.as("a"),
       when(col("entityId") =!= "NIL", entityNode).otherwise(mentionNode)
         .as("b"))

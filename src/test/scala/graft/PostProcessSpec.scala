@@ -66,6 +66,49 @@ class PostProcessSpec extends SparkTestBase {
     assert(got(1).start == starts(4) && got(1).end == ends(5))
   }
 
+  test("genre/author precedence: DF-genre author span → PER before " +
+      "the lookup table (post_process.py:117-122)") {
+    val s = spark
+    import s.implicits._
+    // doc genre = path.split('_')(1), as the reference parses doc ids.
+    // "Addis Ababa" is BOTH an author (fixture) and a GPE lookup entry:
+    // the author branch must win in DF docs, the lookup in others.
+    val authors = Set("Addis Ababa", "John Smith")
+    val ms = Seq(
+      m("SN_DF_0001", 0, 0, 11, "Addis Ababa", "ORG"), // author wins → PER
+      m("SN_NW_0002", 0, 0, 11, "Addis Ababa", "ORG"), // lookup → GPE
+      m("SN_DF_0003", 0, 0, 10, "John Smith", "ORG"),  // author → PER
+      m("SN_NW_0004", 0, 0, 10, "John Smith", "ORG"),  // no table → stays
+      m("plain-path", 0, 0, 10, "John Smith", "ORG"))  // no genre → stays
+      .toDS()
+    val got = PostProcess.lookupFixup(ms, authors)
+      .collect().map(x => x.path -> x.tag).toMap
+    assert(got("SN_DF_0001") == "PER")
+    assert(got("SN_NW_0002") == "GPE")
+    assert(got("SN_DF_0003") == "PER")
+    assert(got("SN_NW_0004") == "ORG")
+    assert(got("plain-path") == "ORG")
+  }
+
+  test("post-process chain pins nothing in the session CacheManager") {
+    val s = spark
+    import s.implicits._
+    val toks = "saw Ada Lovelace yesterday".split(' ')
+    var pos = 0
+    val starts = toks.map { t => val p = pos; pos += t.length + 1; p }
+    val ends = toks.zip(starts).map { case (t, st) => st + t.length }
+    val sents = Seq(Sentence("r", "p", 0, toks, starts, ends)).toDS()
+    val ms = Seq(m("p", 0, starts(1), ends(2), "Ada Lovelace", "PER")).toDS()
+    PostProcess(sents, ms).collect()
+    // suites share one session and may run in parallel — poll so a
+    // sibling suite's transient (cache → unpersist) window can close
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (!spark.sharedState.cacheManager.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "post-process must not leave Dataset.cache entries behind")
+  }
+
   test("insertion prefers earlier/longer candidate under overlap " +
       "(canonical (sentIdx,start,end,text) order)") {
     val s = spark

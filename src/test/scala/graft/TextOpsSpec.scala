@@ -76,6 +76,37 @@ class TextOpsSpec extends SparkTestBase {
     assert(t.getAs[Int]("bpeish_tokens") == 12) // no punct in fixture
   }
 
+  test("LSH star pairing: 1000-copy duplicate cluster emits 999 pairs, " +
+      "all to the min doc_id (never O(c^2))") {
+    val s = spark
+    import s.implicits._
+    val boiler = "the same boilerplate licence text repeated in every " +
+      "file verbatim word for word"
+    val rows = (0L until 1000L).map(i => (i, boiler)) :+
+      (2000L, "totally unrelated content words nothing shared here at all")
+    val pairs = TextOps.lshCandidates(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 999)
+    assert(pairs.forall(_._1 == 0L))
+    assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
+  }
+
+  test("LSH star pairing keeps near-dups connected (components match " +
+      "the all-pairs candidate graph)") {
+    val pairs = TextOps.lshCandidates(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find over the star pairs: 0,1,3 must share a component
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert(find(0L) == find(3L)) // exact dups
+    assert(find(0L) == find(1L)) // near-dup
+    assert(find(2L) != find(0L) && find(4L) != find(0L))
+  }
+
   test("fingerprint is order-sensitive, rolling hash is stable") {
     val s = spark
     import s.implicits._
