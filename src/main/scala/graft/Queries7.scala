@@ -1,0 +1,325 @@
+package graft
+
+import graft.core.{Corpus, Dict, Mention, Sentence, SourceFile}
+import graft.crf.{Crf, FitCrf}
+import graft.link.Linker
+import graft.pipeline.Pipeline
+import graft.postprocess.PostProcess
+import graft.segment.Segmenter
+import graft.triples.Triples
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 batch: DuckDB oracles on the FLAGSHIP chain.
+  *
+  * The enabler is dictionary-forced decoding: on documents where no two
+  * gazetteer matches overlap, the fitted decoder's output provably
+  * equals dictionary matching (gaz-feature log-odds dominate every
+  * competing term by construction of the fit — DefaultModelSpec checks
+  * the margin), which IS SQL-expressible. Eligibility (no overlapping
+  * matches, whitespace-clean text) is computed relationally on BOTH
+  * sides, so the oracle subset is pinned identically. q55 hash-checks
+  * the real fused decode kernel, q56 the full post-process chain (an
+  * exact identity on this subset), q57 dictionary insertion actually
+  * inserting (1/7 of docs' mentions deleted, then restored), q58 the
+  * link + canonicalize + triples terminal output. q29 puts a DuckDB
+  * oracle on the closed-form transition fit over the reference's REAL
+  * eng.train data (219k lines read by both engines).
+  */
+object Queries7 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val maxEntryLen: Int = Dict.gazetteer.map(_._1.length).max
+
+  /** Full dictionary as (lowercased entry, label, entry id) rows —
+    * the same data [[Dict.gazIndex]] serves the decode kernel. */
+  private val gazRows: Seq[(String, String, Int)] =
+    Dict.gazetteer.zipWithIndex.map { case ((toks, l), id) =>
+      (toks.map(_.toLowerCase).mkString(" "), l, id)
+    }
+
+  private def gazValuesSql: String = gazRows
+    .map { case (t, l, id) => s"('${t.replace("'", "''")}', '$l', $id)" }
+    .mkString(", ")
+
+  /** Whitespace-clean docs: single-space separated, no tabs/newlines,
+    * no leading/trailing space — exactly the shape where the SQL
+    * char-offset formula equals the segmenter's. */
+  private def cleanDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(
+      !col("text").contains("\n") && !col("text").contains("\t") &&
+        !col("text").contains("  ") && trim(col("text")) === col("text"))
+
+  /** Dictionary n-gram matches with token indexes AND char offsets. */
+  private def matches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dict = gazRows.toDF("entry", "label", "entry_id")
+    val w = cleanDocs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = (1 to maxEntryLen).map { n =>
+      w.filter(size(col("w")) >= n)
+        .select(col("doc_id"), expr(
+          s"""explode(transform(sequence(0, size(w) - $n), i -> struct(
+             |  i AS idx,
+             |  concat_ws(' ', slice(w, i + 1, $n)) AS gram,
+             |  CAST(IF(i = 0, 0,
+             |    length(concat_ws(' ', slice(w, 1, i))) + 1) AS INT)
+             |    AS cstart,
+             |  $n AS n)))""".stripMargin).as("g"))
+        .select(col("doc_id"), col("g.idx").as("idx"),
+          col("g.gram").as("gram"), col("g.cstart").as("cstart"),
+          col("g.n").as("n"))
+    }.reduce(_ unionByName _)
+    grams.join(broadcast(dict), col("gram") === col("entry"))
+      .select(col("doc_id"), col("idx"), col("n"), col("cstart"),
+        (col("cstart") + length(col("gram"))).as("cend"),
+        col("entry"), col("label"), col("entry_id"))
+  }
+
+  /** Eligible docs = clean docs whose matches are pairwise
+    * non-overlapping (in token space), with repo/path derived exactly
+    * as [[Corpus.fromDocuments]]. */
+  private def eligibleDocs(s: SparkSession, dir: String): DataFrame = {
+    val m = matches(s, dir).select("doc_id", "idx", "n")
+    val a = m.select(col("doc_id"), col("idx").as("ai"), col("n").as("an"))
+    val b = m.select(col("doc_id"), col("idx").as("bi"), col("n").as("bn"))
+    // adjacent (touching) matches stay eligible: the fitted gaz
+    // log-odds are two-sided (positive for the marked tag, strongly
+    // negative for O/other tags on a marked token), so the emission
+    // gap ≈ 2× any legal transition penalty — DefaultModelSpec checks
+    // the per-sentence decode==dictionary property on held-out data,
+    // and the oracle hash confirms it corpus-wide every round
+    val bad = a.join(b, Seq("doc_id"))
+      .filter((col("ai") =!= col("bi") || col("an") =!= col("bn")) &&
+        col("ai") < col("bi") + col("bn") &&
+        col("bi") < col("ai") + col("an"))
+      .select("doc_id").distinct()
+    cleanDocs(s, dir).join(bad, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        concat(lit("repo"),
+          floor(sqrt(pmod(col("doc_id") * 2654435761L, lit(1024))))
+            .cast("string")).as("repo"),
+        concat(lit("doc/"), col("source"), lit("/"),
+          col("doc_id").cast("string"), lit(".txt")).as("path"))
+  }
+
+  /** Per-n gram branches (DuckDB cannot chain LATERALs that reference
+    * the previous lateral's column, so n is unrolled like o10). */
+  private def gramBranches: String = (1 to maxEntryLen).map { n =>
+    s"""SELECT doc_id, i - 1 AS idx, $n AS n,
+       |    array_to_string(w[i:i+${n - 1}], ' ') AS gram,
+       |    CASE WHEN i = 1 THEN 0
+       |      ELSE length(array_to_string(w[1:i-1], ' ')) + 1 END AS cstart
+       |  FROM toks,
+       |    LATERAL (SELECT unnest(generate_series(1, len(w) - ${n - 1}))
+       |      AS i)""".stripMargin
+  }.mkString("\n  UNION ALL\n  ")
+
+  /** Shared oracle CTE: matches + eligibility + repo/path, mirroring
+    * [[matches]]/[[eligibleDocs]] term for term. */
+  private def oracleCte: String =
+    s"""gaz(entry, label, entry_id) AS (VALUES $gazValuesSql),
+       |cd AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE text = trim(text) AND strpos(text, chr(10)) = 0
+       |    AND strpos(text, chr(9)) = 0 AND strpos(text, '  ') = 0),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM cd),
+       |grams AS (
+       |  $gramBranches),
+       |m AS (
+       |  SELECT doc_id, idx, n, cstart, cstart + length(entry) AS cend,
+       |    entry, label, entry_id
+       |  FROM grams JOIN gaz ON gram = entry),
+       |bad AS (
+       |  SELECT DISTINCT a.doc_id FROM m a JOIN m b ON a.doc_id = b.doc_id
+       |    AND NOT (a.idx = b.idx AND a.n = b.n)
+       |    AND a.idx < b.idx + b.n AND b.idx < a.idx + a.n),
+       |elig AS (
+       |  SELECT doc_id, source,
+       |    'repo' || CAST(CAST(floor(sqrt((doc_id * 2654435761) % 1024))
+       |      AS BIGINT) AS VARCHAR) AS repo,
+       |    'doc/' || source || '/' || CAST(doc_id AS VARCHAR) || '.txt'
+       |      AS path
+       |  FROM cd WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |em AS (
+       |  SELECT m.*, e.repo, e.path FROM m JOIN elig e USING (doc_id))""".stripMargin
+
+  private val mentionSelect =
+    """SELECT repo, path, cstart AS start, cend AS "end",
+      |  entry AS text, label AS tag
+      |FROM em ORDER BY path, start""".stripMargin
+
+  // ---- q55: the real decode kernel vs dictionary matching ------------
+
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
+    val elig = eligibleDocs(s, dir).select("path")
+    Pipeline.mentions(corpus).toDF()
+      .join(elig, "path")
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
+  private def o55: String = s"WITH $oracleCte\n$mentionSelect"
+
+  // ---- q56: full post-process chain is the identity here --------------
+
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
+    val elig = eligibleDocs(s, dir).select("path")
+    val sentsE = Segmenter.sentences(corpus).toDF().join(elig, "path")
+      .select(col("repo"), col("path"), col("sentIdx"), col("tokens"),
+        col("starts"), col("ends")).as[Sentence]
+    val mentE = Pipeline.mentions(corpus).toDF().join(elig, "path")
+      .select(col("repo"), col("path"), col("sentIdx"), col("start"),
+        col("end"), col("text"), col("tag"), col("conf")).as[Mention]
+    PostProcess(sentsE, mentE).toDF()
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
+  // ---- q57: dictionary insertion restores deleted mentions ------------
+
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
+    val eligD = eligibleDocs(s, dir)
+    val elig = eligD.select("path")
+    val sentsE = Segmenter.sentences(corpus).toDF().join(elig, "path")
+      .select(col("repo"), col("path"), col("sentIdx"), col("tokens"),
+        col("starts"), col("ends")).as[Sentence]
+    // simulate model misses: drop every mention in doc_id % 7 == 0 docs
+    val kept = Pipeline.mentions(corpus).toDF()
+      .join(eligD.select("doc_id", "path"), "path")
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("repo"), col("path"), col("sentIdx"), col("start"),
+        col("end"), col("text"), col("tag"), col("conf")).as[Mention]
+    PostProcess.insertFromLookup(sentsE, kept).toDF()
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
+  // ---- q58: link + canonicalize + triples, hash-checked ----------------
+
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
+    val elig = eligibleDocs(s, dir).select("path")
+    val mentE = Pipeline.mentions(corpus).toDF().join(elig, "path")
+      .select(col("repo"), col("path"), col("sentIdx"), col("start"),
+        col("end"), col("text"), col("tag"), col("conf")).as[Mention]
+    Triples.materialize(Linker.link(mentE))
+      .orderBy("subj", "pred", "obj")
+  }
+
+  private def o58: String =
+    s"""WITH $oracleCte,
+       |linked AS (
+       |  SELECT em.*,
+       |    'Q' || lpad(CAST(entry_id + 1 AS VARCHAR), 5, '0') AS qid
+       |  FROM em)
+       |SELECT DISTINCT 'e:' || qid AS subj, pred, obj FROM (
+       |  SELECT qid, 'hasType' AS pred, label AS obj FROM linked
+       |  UNION ALL SELECT qid, 'label', entry FROM linked
+       |  UNION ALL SELECT qid, 'mentionedIn', repo || '/' || path
+       |    FROM linked
+       |  UNION ALL SELECT qid, 'sameAs', qid FROM linked)
+       |ORDER BY subj, pred, obj""".stripMargin
+
+  // ---- q29: closed-form transition fit on the REAL eng.train ----------
+
+  /** The fitted transition matrix over the reference's in-tree English
+    * training data: both engines read the same 219k-line file; the
+    * oracle re-states the sessionizer, the MISC↔GPE bijection, the
+    * bigram counting with virtual START/END, and the add-k log
+    * probability (k=0.5) including the float truncation, so the weight
+    * column is bit-stable at 4 dp. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = FitCrf.countStats(FitEval.labeled(s, FitEval.trainPath))
+    val m = FitCrf.weights(c, k = 0.5)
+    val names = (Dict.tags :+ "START") :+ "END"
+    val rows = for {
+      i <- 0 until Crf.K + 2
+      j <- 0 until Crf.K + 2
+      if !Crf.walls(i)(j)
+    } yield (names(i), names(j), c.bigram(i)(j),
+      java.math.BigDecimal.valueOf(m.trans(i)(j).toDouble)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    rows.toDF("from_tag", "to_tag", "n", "w")
+      .orderBy("from_tag", "to_tag")
+  }
+
+  private def o29: String = {
+    val tagValues = Dict.tags.map(t => s"('$t')").mkString(", ")
+    s"""WITH raw AS (
+       |  SELECT row_number() OVER () AS lineno, line
+       |  FROM read_csv('${FitEval.trainPath}',
+       |    header=false, delim='', columns={'line':'VARCHAR'},
+       |    null_padding=true, all_varchar=true)),
+       |scan AS (
+       |  SELECT sentId,
+       |    row_number() OVER (PARTITION BY sentId ORDER BY lineno)
+       |      AS tokIdx,
+       |    replace(f[-1], 'MISC', 'GPE') AS tag
+       |  FROM (
+       |    SELECT lineno,
+       |      string_split_regex(trim(coalesce(line, '')), '\\s+') AS f,
+       |      CAST(sum(CASE WHEN trim(coalesce(line, '')) = ''
+       |        THEN 1 ELSE 0 END)
+       |        OVER (ORDER BY lineno ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |        AS sentId,
+       |      trim(coalesce(line, '')) = '' AS isBlank
+       |    FROM raw)
+       |  WHERE NOT isBlank),
+       |big AS (
+       |  SELECT coalesce(lag(tag) OVER (PARTITION BY sentId
+       |    ORDER BY tokIdx), 'START') AS from_tag, tag AS to_tag
+       |  FROM scan
+       |  UNION ALL
+       |  SELECT tag, 'END' FROM (
+       |    SELECT sentId, tag, row_number() OVER (PARTITION BY sentId
+       |      ORDER BY tokIdx DESC) AS rk
+       |    FROM scan) WHERE rk = 1),
+       |counts AS (
+       |  SELECT from_tag, to_tag, count(*) AS n FROM big GROUP BY 1, 2),
+       |tags(tag) AS (VALUES $tagValues),
+       |fromSet AS (SELECT tag FROM tags UNION ALL SELECT 'START'),
+       |toSet AS (SELECT tag FROM tags UNION ALL SELECT 'END'),
+       |grid AS (
+       |  SELECT f.tag AS from_tag, t.tag AS to_tag
+       |  FROM fromSet f CROSS JOIN toSet t
+       |  WHERE NOT (t.tag LIKE 'I-%' AND f.tag NOT IN
+       |    ('B-' || substr(t.tag, 3), 'I-' || substr(t.tag, 3)))),
+       |rowtot AS (
+       |  SELECT from_tag, CAST(sum(n) AS BIGINT) AS tot
+       |  FROM counts GROUP BY 1)
+       |SELECT g.from_tag AS from_tag, g.to_tag AS to_tag,
+       |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       |  round(CAST(CAST(ln((coalesce(c.n, 0) + 0.5) / (r.tot + 5.0))
+       |    AS REAL) AS DOUBLE), 4) AS w
+       |FROM grid g
+       |LEFT JOIN counts c
+       |  ON c.from_tag = g.from_tag AND c.to_tag = g.to_tag
+       |JOIN rowtot r ON r.from_tag = g.from_tag
+       |ORDER BY g.from_tag, g.to_tag""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_fitted_transitions" -> (q29 _),
+    "q55_decode_dict_oracle" -> (q55 _),
+    "q56_postprocess_identity" -> (q56 _),
+    "q57_insertion_restore" -> (q57 _),
+    "q58_triples_oracle" -> (q58 _))
+
+  val oracles: Map[String, String] = Map(
+    "q29_fitted_transitions" -> o29,
+    "q55_decode_dict_oracle" -> o55,
+    "q56_postprocess_identity" -> s"WITH $oracleCte\n$mentionSelect",
+    "q57_insertion_restore" -> s"WITH $oracleCte\n$mentionSelect",
+    "q58_triples_oracle" -> o58)
+}

@@ -166,6 +166,30 @@ object ConllOps {
           .as("used_fallback"))
   }
 
+  /** File-scale CoNLL scan → whole sentences: textFile + zipWithIndex
+    * pins line order (zipWithIndex is split-order stable), the oracled
+    * [[conllScan]] sessionizes, and a groupBy collects each sentence's
+    * ordered token/tag arrays. The sessionizer window is per-file
+    * single-partition by nature (line order is a file-local notion);
+    * corpus-scale inputs arrive as MANY files and parallelize by file.
+    * DOCSTART separator lines are kept as 1-token O sentences, exactly
+    * as the reference loader does (data_loader.py:243-258 has no
+    * special case). */
+  def conllFileSentences(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[ConllSentence] = {
+    import spark.implicits._
+    val lines = spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (l, i) => (i, l) }.toDF("lineno", "line")
+    conllScan(lines)
+      .groupBy("sentId")
+      .agg(sort_array(collect_list(
+        struct(col("tokenIdx"), col("word"), col("tag")))).as("arr"))
+      .select(col("sentId"),
+        expr("transform(arr, x -> x.word)").as("words"),
+        expr("transform(arr, x -> x.tag)").as("tags"))
+      .as[ConllSentence]
+  }
+
   /** Inline CoNLL fixture (FIXTURES.md §B.1): deterministic, covers
     * B/I chains, orphan I-, adjacent B-X B-X, type switch, MISC,
     * all-caps, digits, internal periods. */
@@ -176,6 +200,11 @@ object ConllOps {
       .toDF("lineno", "line")
   }
 }
+
+/** One scanned CoNLL sentence (public top-level: Spark codegen calls
+  * the encoder accessors directly). */
+final case class ConllSentence(sentId: Long, words: Array[String],
+    tags: Array[String])
 
 /** The fixture lines as data (shared with the DuckDB oracle, which
   * receives them as an inline VALUES list). */

@@ -24,68 +24,41 @@ object Crf {
   val WALL = -1000f            // constraint value (decoders.py:17-25)
   val NEG = -2000f             // non-START init (decoders.py:168-170)
 
-  /** Emission weight matrix W(tag)(feature), K × 24. Deterministic
-    * constants playing the role of re-derived log-odds (SURVEY.md §7.3):
-    * gazetteer B/I indicators dominate, o_gaz carries the O prior
-    * (magnitudes ∝ the CoNLL-03 train tag distribution in BASELINE.md —
-    * O is ~25× any B tag), head/title/shape features contribute
-    * sub-dominant evidence. */
-  lazy val emissionWeights: Array[Array[Float]] = {
-    val w = Array.fill(K, Features.numFeatures)(0f)
-    var t = 0
-    while (t < Dict.entityTypes.size) {
-      val x = Dict.entityTypes(t)
-      w(Dict.tagId(s"B-$x"))(Features.B_GAZ + t) = 8f
-      w(Dict.tagId(s"I-$x"))(Features.I_GAZ + t) = 8f
-      t += 1
-    }
-    w(Dict.O)(Features.O_GAZ) = 4f
-    w(Dict.tagId("B-PER"))(Features.TITLE) = 1f
-    w(Dict.tagId("I-ORG"))(Features.HEAD_ORG) = 1f
-    w(Dict.tagId("I-LOC"))(Features.HEAD_LOC) = 1f
-    w(Dict.tagId("I-GPE"))(Features.HEAD_GPE) = 1f
+  /** BIO/virtual-tag wall STRUCTURE — the constraint set of
+    * decoders.py:17-25 / model_builder.py:13-22 plus the START-column /
+    * END-row walls of decoders.py:48-58. A pure structural constant
+    * (no weights), shared by the fitted default, [[CrfTrainer]] and
+    * [[FitCrf]]; extracting it breaks the old value/structure
+    * entanglement so fitted matrices can carry the same walls. */
+  lazy val walls: Array[Array[Boolean]] = {
+    val w = Array.fill(K + 2, K + 2)(false)
+    for (from <- 0 until K + 2) w(from)(START) = true
+    for (to <- 0 until K + 2) w(END)(to) = true
     for (x <- Dict.entityTypes) {
-      w(Dict.tagId(s"B-$x"))(Features.CAPITALIZED) = 0.25f
-      w(Dict.tagId(s"I-$x"))(Features.CAPITALIZED) = 0.25f
+      val iTag = Dict.tagId(s"I-$x")
+      w(Dict.O)(iTag) = true
+      w(START)(iTag) = true
+      for (y <- Dict.entityTypes if y != x) {
+        w(Dict.tagId(s"B-$y"))(iTag) = true
+        w(Dict.tagId(s"I-$y"))(iTag) = true
+      }
     }
     w
   }
 
-  /** (K+2)² transition matrix T(from)(to). Structure exactly as
-    * decoders.py:48-58 (column START and row END walled) with the BIO
-    * constraint set of model_builder.py:13-22 / decoders.py:17-25
-    * (O→I-*, START→I-*, B-X→I-Y, I-X→I-Y all walled); legal weights are
-    * log-bigram-frequency-shaped constants from the BASELINE.md train
-    * tag distribution. */
-  lazy val transitions: Array[Array[Float]] = {
-    val m = Array.fill(K + 2, K + 2)(0f)
-    val tid = Dict.tagId
-    // legal-path priors
-    for (from <- 0 until K + 2; to <- 0 until K + 2) {
-      m(from)(to) = 0f
-    }
-    m(Dict.O)(Dict.O) = 2f
-    for (x <- Dict.entityTypes) {
-      m(tid(s"B-$x"))(tid(s"I-$x")) = 1.5f
-      m(tid(s"I-$x"))(tid(s"I-$x")) = 0.7f
-      m(tid(s"B-$x"))(Dict.O) = 1f
-      m(tid(s"I-$x"))(Dict.O) = 1f
-    }
-    m(START)(Dict.O) = 1f
-    // walls
-    for (from <- 0 until K + 2) m(from)(START) = WALL
-    for (to <- 0 until K + 2) m(END)(to) = WALL
-    for (x <- Dict.entityTypes) {
-      val iTag = tid(s"I-$x")
-      m(Dict.O)(iTag) = WALL
-      m(START)(iTag) = WALL
-      for (y <- Dict.entityTypes if y != x) {
-        m(tid(s"B-$y"))(iTag) = WALL
-        m(tid(s"I-$y"))(iTag) = WALL
-      }
-    }
-    m
-  }
+  /** Default emission weights W(tag)(feature), K × 24 — FITTED, not
+    * hand-set: closed-form log-odds (SURVEY.md §7.3) over the labeled
+    * synthetic training corpus, derived once per JVM by
+    * [[DefaultModel]]. The eng model over the reference's real CoNLL
+    * data is fitted by the same code path ([[FitCrf]]; gated by
+    * EngModelSpec). */
+  lazy val emissionWeights: Array[Array[Float]] = DefaultModel.fitted.featW
+
+  /** Default (K+2)² transition matrix T(from)(to): log bigram
+    * frequencies fitted from the labeled synthetic training corpus
+    * ([[DefaultModel]]), with [[walls]] pinned at −1000 exactly where
+    * constrained_transition_init puts them. */
+  lazy val transitions: Array[Array[Float]] = DefaultModel.fitted.trans
 
   /** Emission score of one token from its feature bitmask. */
   def emit(mask: Int, w: Array[Array[Float]]): Array[Float] = {

@@ -145,9 +145,9 @@ object CrfTrainer {
     val spark = data.sparkSession
     val w = Array.fill(K, F)(0f)
     val tr = Array.tabulate(N, N) { (i, j) =>
-      if (Crf.transitions(i)(j) == WALL) WALL else 0f
+      if (Crf.walls(i)(j)) WALL else 0f
     }
-    val trainableT = Array.tabulate(N, N)((i, j) => tr(i)(j) != WALL)
+    val trainableT = Array.tabulate(N, N)((i, j) => !Crf.walls(i)(j))
     val accW = new Array[Double](K * F)
     val accT = new Array[Double](N * N)
     val history = scala.collection.mutable.ArrayBuffer[Double]()

@@ -67,6 +67,90 @@ object Morph {
     case _ => EmptyAnalyzer // eng/deu/amh/som: segnerfts.py:89-94
   }
 
+  /** Pure-string twin of [[graft.conll.ConllOps.ormNormalize]]'s
+    * lowercase branch (the 8 ordered rewrite rules of
+    * utils/orm_norm/ormnorm.py:6-15) — the reference analyzer parses
+    * `normalize(word)` (segnerfts/orm_morph.py:289). */
+  def ormNormalizeString(w: String): String =
+    graft.conll.ConllOps.ormPatterns.foldLeft(w.toLowerCase) {
+      case (acc, (p, r)) => acc.replaceAll(p, r)
+    }
+
+  /** Lexicon-backed Oromo analyzer — the offline-feasible stand-in
+    * derived from the reference's SHIPPED lexicon
+    * (utils/orm_norm/orm_lexicon.txt: `english-gloss \t oromo` rows;
+    * the real engine's Lookup consumes the same files,
+    * segnerfts/orm_morph.py:270). A parse is stem-gloss (the English
+    * side, '.'-joined so [[glossSet]] splits it into tags) plus the
+    * glosses of up to two stripped suffixes from a table of standard
+    * Oromo nominal morphology (public grammar; surfaces normalized by
+    * the same rules as stems and tokens). ALL decompositions are
+    * returned (BEST_PARSE = False semantics). Replaces ONLY the
+    * Analyzer plug; the gloss algebra above is untouched. */
+  final class LexiconAnalyzer(stems: Map[String, Seq[String]],
+      suffixes: Seq[(String, String)]) extends Analyzer {
+    override def parses(token: String): Seq[String] = {
+      val w = ormNormalizeString(token)
+      val out = Seq.newBuilder[String]
+      // normalization can collapse distinct lexicon stems onto one
+      // surface — EVERY colliding stem contributes a parse, which is
+      // the all-parses (BEST_PARSE = False) semantics anyway
+      def tryStem(rest: String, sufGloss: List[String]): Unit =
+        stems.getOrElse(rest, Nil).foreach { g =>
+          out += (g :: sufGloss).mkString("-")
+        }
+      tryStem(w, Nil)
+      for ((s1, g1) <- suffixes if w.length > s1.length &&
+          w.endsWith(s1)) {
+        val r1 = w.dropRight(s1.length)
+        tryStem(r1, g1 :: Nil)
+        for ((s2, g2) <- suffixes if r1.length > s2.length &&
+            r1.endsWith(s2)) {
+          tryStem(r1.dropRight(s2.length), g2 :: g1 :: Nil)
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** Standard Oromo nominal suffixes (public grammar), glosses drawn
+    * from the reference's feature sets; surfaces are stored normalized
+    * (e.g. `-tiin` → `tin`, `-oota` → `ota`) to compose with
+    * [[ormNormalizeString]]. */
+  val ormSuffixes: Seq[(String, String)] = Seq(
+    "oota" -> "PL", "wwan" -> "PL", "lee" -> "PL",
+    "tiin" -> "INST", "dhaan" -> "INST",
+    "dhaaf" -> "DAT", "irraa" -> "ABL",
+    "icha" -> "DEF.M", "ittii" -> "DEF.F",
+    "koo" -> "POSS.1SG", "kee" -> "POSS.2SG", "isaa" -> "POSS.3SG",
+    "keenya" -> "POSS.1PL", "keessan" -> "POSS.2PL",
+    "uu" -> "INF", "ni" -> "NOM", "n" -> "NOM", "f" -> "DAT")
+    .map { case (s, g) => (ormNormalizeString(s), g) }
+    .distinct
+
+  /** Build a [[LexiconAnalyzer]] from a lexicon file (default: the
+    * reference's shipped orm_lexicon.txt). Single-token Oromo surfaces
+    * become stems; the English side becomes the stem gloss
+    * ('.'-joined). Driver-side load (the lexicon is dictionary-sized),
+    * broadcast by callers like every other dictionary. */
+  def lexiconAnalyzer(
+      path: String = "/root/reference/utils/orm_norm/orm_lexicon.txt")
+      : LexiconAnalyzer = {
+    val stems = scala.io.Source.fromFile(path, "UTF-8").getLines()
+      .flatMap { line =>
+        val fs = line.split('\t')
+        if (fs.length == 2) {
+          val orm = fs(1).replace("﻿", "").trim
+          val gloss = fs(0).trim.replaceAll("[\\s]+", ".")
+          if (orm.nonEmpty && !orm.contains(' ') && gloss.nonEmpty)
+            Some(ormNormalizeString(orm) -> gloss)
+          else None
+        } else None
+      }.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap
+    new LexiconAnalyzer(stems, ormSuffixes)
+  }
+
   /** The 18 gloss sets, verbatim from segnerfts.py:706-728, in slot
     * order. Names are ours; sets are the reference's. */
   val featureNames: IndexedSeq[String] = IndexedSeq(

@@ -32,6 +32,22 @@ class ModelIOSpec extends SparkTestBase {
     }
   }
 
+  test("fitted model save/load roundtrip (word + shape dictionaries)") {
+    val m = graft.crf.DefaultModel.fitted
+    val tmp = java.nio.file.Files
+      .createTempDirectory("fitted-model").toString + "/m"
+    graft.io.ModelIO.saveFitted(spark, m, tmp)
+    val m2 = graft.io.ModelIO.loadFitted(spark, tmp)
+    assert(m2.featW.map(_.toSeq).toSeq == m.featW.map(_.toSeq).toSeq)
+    assert(m2.trans.map(_.toSeq).toSeq == m.trans.map(_.toSeq).toSeq)
+    assert(m2.wordW.view.mapValues(_.toSeq).toMap ==
+      m.wordW.view.mapValues(_.toSeq).toMap)
+    assert(m2.shapeW.view.mapValues(_.toSeq).toMap ==
+      m.shapeW.view.mapValues(_.toSeq).toMap)
+    assert(m2.shapeDefault.toSeq == m.shapeDefault.toSeq)
+    assert(m2.lambda == m.lambda)
+  }
+
   test("token accuracy: exact fraction with rounding") {
     val s = spark
     import s.implicits._

@@ -47,6 +47,37 @@ class MorphSpec extends AnyFunSuite {
       "whole-token suffix is not a parse")
   }
 
+  test("lexicon-backed analyzer: shipped-lexicon stems parse with " +
+      "real suffix glosses (orm_lexicon.txt)") {
+    val path = "/root/reference/utils/orm_norm/orm_lexicon.txt"
+    assume(new java.io.File(path).exists())
+    val a = Morph.lexiconAnalyzer(path)
+    // 'aadaa' = culture (lexicon row); normalization folds aa→a
+    assert(Morph.glossSet(a.parses("aadaa")).contains("culture"))
+    // inflected: aadaa + -n (NOM) — parse = stem gloss + suffix gloss
+    val nom = Morph.glossSet(a.parses("aadaan"))
+    assert(nom.contains("culture") && nom.contains("NOM"),
+      s"got $nom")
+    assert(Morph.features("aadaan", a)(
+      Morph.featureNames.indexOf("m_nom")))
+    // instrumental: aadaa + -tiin
+    val inst = Morph.glossSet(a.parses("aadaatiin"))
+    assert(inst.contains("INST"), s"got $inst")
+    // possessive chain: aadaa + -koo (+ case) → POSS fires
+    assert(Morph.features("aadaakoo", a)(
+      Morph.featureNames.indexOf("m_poss")))
+    // unknown token: no parses, all features false
+    assert(Morph.features("zzqqpp", a).forall(_ == false))
+  }
+
+  test("lexicon analyzer normalizes like the reference (ormnorm rules " +
+      "applied to stems, suffixes, and tokens)") {
+    assert(Morph.ormNormalizeString("aadaa") == "ada")
+    assert(Morph.ormNormalizeString("AADAA") == "ada")
+    assert(Morph.ormSuffixes.contains("tin" -> "INST"))
+    assert(Morph.ormSuffixes.contains("ota" -> "PL"))
+  }
+
   test("bits mask matches boolean vector") {
     val a = Morph.forLang("orm")
     val f = Morph.features("namoota", a)
