@@ -102,6 +102,31 @@ object FitEval {
       (0.1, 2L, 2L, 0.05f),
       (0.2, 2L, 1L, 0f))
 
+    // Iterative CrfTrainer on the same real data (24 discrete features
+    // only — no word identity, by construction of the trainer's
+    // feature space): reported next to the closed-form fit so the two
+    // training paths are comparable on eng.test.
+    if (args.contains("--trainer")) {
+      val data = train.map(t => graft.crf.CrfTrainer.LabeledSentence(
+        graft.features.Features.sentenceBits(t.words, Dict.gazIndex),
+        t.tags))
+      val t0 = System.nanoTime()
+      val (w, tr, hist) =
+        graft.crf.CrfTrainer.train(data, epochs = 12)
+      println(f"trainer: 12 epochs in ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+        f"NLL ${hist.head}%.3f -> ${hist.last}%.3f")
+      val pred = spansOf(graft.crf.Crf.tag(sents, w, tr))
+      val perType = SpanPRF1.evaluate(pred, gold).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val tp = perType.map(_._1).sum.toDouble
+      val fp = perType.map(_._2).sum
+      val fn = perType.map(_._3).sum
+      val p = tp / math.max(tp + fp, 1)
+      val r = tp / math.max(tp + fn, 1)
+      val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
+      println(f"trainer (features-only): P=$p%.4f R=$r%.4f F1=$f1%.4f")
+    }
+
     for ((k, mc, rm, lam) <- configs) {
       val t0 = System.nanoTime()
       val model = FitCrf.fit(train, k, mc, rm, lam)

@@ -72,41 +72,34 @@ object PostProcess {
   /** Stage 2: within-document majority vote (post_process.py:245-261 +
     * relabel): for every (doc, span text) occurring with >1 distinct
     * tag, relabel all occurrences to the majority tag when the winning
-    * count > confNum. One shuffle on (doc, text). */
+    * count > confNum; ties (count desc, tag asc) — the reference's
+    * first-seen `>` scan is dict-order-dependent, ours is pinned.
+    *
+    * Pure window form: per-(doc, key, tag) counts, then the winner per
+    * (doc, key) by (count desc, tag asc). The input is consumed ONCE —
+    * no self-join, no materialization barrier — so the stage is two
+    * keyed exchanges of the mention stream and nothing else (the old
+    * agg + relabel-join shape needed a localCheckpoint to avoid
+    * recomputing the whole decode per consumer). */
   def withinDocVote(mentions: Dataset[Mention], confNum: Int = 2)
       : Dataset[Mention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    // materialize once: the vote aggregation and the relabel join both
-    // consume `df`; without this the whole upstream decode pipeline
-    // would recompute per consumer (2x per stage, 8x chained). Lazy
-    // localCheckpoint, not cache(): block lifetime is tied to the RDD
-    // reference (ContextCleaner frees it after downstream consumes),
-    // so chained stages / repeated runs don't accumulate pinned storage
-    // in the session CacheManager.
-    val df = mentions.toDF().localCheckpoint(false)
-    val votes = df
-      .groupBy(col("repo"), col("path"), lower(col("text")).as("key"),
-        col("tag"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(Window
-        .partitionBy("repo", "path", "key")
-        .orderBy(desc("n"), asc("tag"))))
-      .filter(col("rk") === 1 && col("n") > confNum)
-      // fresh column names: votes derives from df, so reusing repo/path
-      // would make a self-join with ambiguous attribute ids
-      .select(col("repo").as("vrepo"), col("path").as("vpath"),
-        col("key").as("vkey"), col("tag").as("voteTag"))
-    // NO broadcast hint: votes is keyed per (doc, text) so it GROWS
-    // with the corpus — collecting it to the driver is a scaling
-    // bottleneck. A shuffle join partitions both sides by the key;
-    // AQE still downgrades to broadcast when runtime stats are small
-    df.join(votes,
-        df("repo") === col("vrepo") && df("path") === col("vpath") &&
-          lower(df("text")) === col("vkey"), "left")
-      .select(df("repo"), df("path"), col("sentIdx"), col("start"),
+    val key = lower(col("text"))
+    val wTag = Window.partitionBy(col("repo"), col("path"), key,
+      col("tag"))
+    val wKey = Window.partitionBy(col("repo"), col("path"), key)
+    val wBest = wKey.orderBy(desc("n"), asc("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mentions.toDF()
+      .withColumn("n", count(lit(1)).over(wTag))
+      .withColumn("bestTag", first(col("tag")).over(wBest))
+      .withColumn("bestN", max(col("n")).over(wKey))
+      .select(col("repo"), col("path"), col("sentIdx"), col("start"),
         col("end"), col("text"),
-        coalesce(col("voteTag"), df("tag")).as("tag"), col("conf"))
+        when(col("bestN") > confNum, col("bestTag"))
+          .otherwise(col("tag")).as("tag"),
+        col("conf"))
       .as[Mention]
   }
 

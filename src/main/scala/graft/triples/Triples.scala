@@ -29,16 +29,32 @@ object Triples {
     * The docId carries repo/path so output can partition by repo. */
   def materialize(linked: Dataset[LinkedMention]): DataFrame = {
     val spark = linked.sparkSession
-    // materialization barrier: the CC loop and the subject join each
-    // spawn exchange subtrees over `df`; if the blocks are cold they
-    // race to compute the whole upstream pipeline concurrently (observed
-    // as tasks blocked on each other's block locks + duplicated
-    // compute). Eager localCheckpoint materializes once before fan-out
-    // AND ties block lifetime to this RDD (ContextCleaner frees it when
-    // the plan is dropped) instead of pinning the session CacheManager.
-    val df = linked.toDF().localCheckpoint(true)
-    val nodes = df.select(mentionNode.as("a"),
-      when(col("entityId") =!= "NIL", entityNode).otherwise(mentionNode)
+    // ONE full-width pass over the mention stream, period. Everything
+    // a triple can mention is a function of (tag, lower(text),
+    // entityId, doc) — so a single map-side-combining distinct
+    // collapses the mention multiset to the compact frame D, and the
+    // node graph, the CC, the subject assignment and all four
+    // predicates derive from D. (TriplesProbe measured the old shape:
+    // four full scans of 5.6 M checkpointed rows to reach 18 distinct
+    // nodes — memory-bandwidth-bound and flat from 2→8 cores. The
+    // upstream pipeline now has exactly ONE consumer, so the old
+    // anti-race input checkpoint is unnecessary too.)
+    val D = linked.toDF()
+      .select(col("tag"), lower(col("text")).as("ltext"),
+        col("entityId"),
+        concat(col("repo"), lit("/"), col("path")).as("doc"))
+      .distinct()
+      // D is consumed by two subtrees (entity dims + placements);
+      // eager localCheckpoint materializes it once, entity×doc-sized
+      .localCheckpoint(true)
+    val node = concat(lit("m:"), col("tag"), lit(":"), col("ltext"))
+    // entity-sized frames from here on
+    val ents = D.select(col("tag"), col("ltext"), col("entityId"))
+      .distinct()
+      .withColumn("node", node)
+    val nodes = ents.select(col("node").as("a"),
+      when(col("entityId") =!= "NIL",
+        concat(lit("e:"), col("entityId"))).otherwise(col("node"))
         .as("b"))
     // the link graph is bipartite stars by construction (every mention
     // node has exactly one edge: to its entity node, or a self-loop) —
@@ -51,23 +67,24 @@ object Triples {
     // hash ids)
     val canon = comps.groupBy("component")
       .agg(min("node").as("subj"))
-    val withSubj = df
-      .withColumn("node", mentionNode)
-      .join(comps, "node")
-      .join(canon, "component")
-    // single-pass emission: one scan explodes all four predicates per
-    // mention, one distinct dedups — vs 4 join+distinct branches that
-    // would re-run the subject join per predicate
-    withSubj.select(col("subj"), explode(array(
+    val subjOf = comps.join(canon, "component") // node → subj, tiny
+      .select(col("node"), col("subj"))
+    // comps/canon/subjOf are entity-sized → these joins broadcast
+    val dims = ents.join(subjOf, "node")
+    val places = D.withColumn("node", node)
+      .join(subjOf, "node")
+      .select(col("subj"), col("doc").as("obj")).distinct()
+    dims.select(col("subj"), explode(array(
         struct(lit("hasType").as("pred"), col("tag").as("obj")),
-        struct(lit("label").as("pred"), lower(col("text")).as("obj")),
-        struct(lit("mentionedIn").as("pred"),
-          concat(col("repo"), lit("/"), col("path")).as("obj")),
+        struct(lit("label").as("pred"), col("ltext").as("obj")),
         struct(lit("sameAs").as("pred"),
           when(col("entityId") =!= "NIL", col("entityId")).as("obj"))))
         .as("po"))
-      .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"))
+      .select(col("subj"), col("po.pred").as("pred"),
+        col("po.obj").as("obj"))
       .filter(col("obj").isNotNull) // drops sameAs rows for NIL mentions
-      .distinct()
+      .distinct() // distinct ents can share one canonical subject
+      .unionByName(places
+        .select(col("subj"), lit("mentionedIn").as("pred"), col("obj")))
   }
 }

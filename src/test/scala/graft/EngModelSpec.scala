@@ -46,6 +46,43 @@ class EngModelSpec extends SparkTestBase {
     assert(f1 >= 0.70, f"span F1 $f1%.4f < 0.70")
   }
 
+  test("iterative CrfTrainer on eng.train: NLL decreases and the " +
+      "features-only model clears its floor on eng.test") {
+    assume(available)
+    val s = spark
+    import s.implicits._
+    val train = FitEval.labeled(spark, FitEval.trainPath)
+    val data = train.map(t => graft.crf.CrfTrainer.LabeledSentence(
+      graft.features.Features.sentenceBits(t.words, Dict.gazIndex),
+      t.tags))
+    val (w, tr, hist) = graft.crf.CrfTrainer.train(data, epochs = 12)
+    info(f"NLL ${hist.head}%.3f -> ${hist.last}%.3f")
+    assert(hist.last < hist.head / 2, "NLL must at least halve")
+    val testSents = graft.conll.ConllOps
+      .conllFileSentences(spark, FitEval.testPath)
+      .map(x => (x.sentId, x.words, x.tags.map(FitEval.tagIdOf)))
+    val gold = FitEval.spansOf(testSents.map { case (id, words, tags) =>
+      graft.core.TaggedSentence("eng", "test", id.toInt, words,
+        Array.tabulate(words.length)(i => i),
+        Array.tabulate(words.length)(i => i + 1),
+        tags.map(Dict.tags))
+    })
+    val pred = FitEval.spansOf(
+      graft.crf.Crf.tag(FitEval.toSentences(testSents), w, tr))
+    val perType = SpanPRF1.evaluate(pred, gold).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tp = perType.map(_._1).sum.toDouble
+    val fp = perType.map(_._2).sum
+    val fn = perType.map(_._3).sum
+    val f1 = if (tp == 0) 0.0
+      else 2 * tp / (2 * tp + fp + fn)
+    // measured 0.278 at pin time — the 24 shape/gaz features carry no
+    // word identity, which is exactly why SURVEY §7.3's φ includes the
+    // word/shape dictionaries (closed-form fit: F1 0.727, gated above)
+    info(f"features-only span F1=$f1%.4f")
+    assert(f1 >= 0.20, f"features-only F1 $f1%.4f < 0.20")
+  }
+
   test("distributed fit == driver-side fit (shared counts->weights " +
       "arithmetic)") {
     assume(available)
