@@ -209,6 +209,46 @@ object Queries3 {
   private def q24(s: SparkSession, dir: String): DataFrame =
     VectorOps.lshNeighbors(t(s, dir, "embeddings")).orderBy("id_a", "rk")
 
+  /** Oracle for the LSH-bucketed ANN — possible since the hyperplane
+    * became integer-hash Rademacher signs (round 1's sin() variant had
+    * cross-libm sign flips): both engines normalize, project, bucket,
+    * and rank with pinned index-order folds, so rows hash-match. */
+  private def o24: String = {
+    val signs = (0 until 6).map { p =>
+      val comp = s"(CASE WHEN ((((i - 1) * 40503 + ${p + 1} * 104729) " +
+        s"% 2147483648) * 2654435761) % 2147483648 < 1073741824 " +
+        s"THEN 1.0 ELSE -1.0 END)"
+      s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(generate_series(1, len(unit)),
+         |      i -> unit[i] * $comp)), (a, x) -> a + x) >= 0
+         |  THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" ||\n  ")
+    s"""WITH u AS (
+       |  SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+       |    i -> embedding[i]::DOUBLE / sqrt(list_reduce(
+       |      list_prepend(0.0::DOUBLE,
+       |        list_transform(generate_series(1, len(embedding)),
+       |          j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)),
+       |      (a, x) -> a + x))) AS unit
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT vec_id, unit,
+       |  $signs AS sig
+       |  FROM u),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, len(a.unit)),
+       |        i -> a.unit[i] * b.unit[i])), (x, y) -> x + y), 4) AS cos
+       |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id_a
+       |    ORDER BY cos DESC, id_b ASC) AS rk
+       |  FROM pairs)
+       |SELECT id_a, id_b, cos, rk FROM ranked WHERE rk <= 5
+       |ORDER BY id_a, rk""".stripMargin
+  }
+
   private def q25(s: SparkSession, dir: String): DataFrame =
     VectorOps.centroids(t(s, dir, "embeddings"))
       .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
@@ -295,6 +335,7 @@ object Queries3 {
     "q21_fingerprint" -> o21,
     "q22_lsh_candidates" -> o22,
     "q23_ann_bruteforce" -> o23,
+    "q24_ann_lsh" -> o24,
     "q25_centroids" -> o25,
     "q27_fact_join" -> o27,
     "q28_topk_per_group" -> o28)

@@ -309,17 +309,79 @@ object Queries7 {
        |ORDER BY g.from_tag, g.to_tag""".stripMargin
   }
 
+  // ---- q59: author-list XML scan (extract_authors.py) ----------------
+
+  /** Inline XML fixture: WL file with two posts (one duplicated
+    * author, one attribute OUTSIDE any post block), plus an NW file
+    * whose author must be genre-excluded. */
+  private[graft] val authorXmlRows: Seq[(String, Long, String)] = Seq(
+    ("SN_WL_0001.xml", 0L, "<doc id=\"SN_WL_0001\">"),
+    ("SN_WL_0001.xml", 1L, "<post type=\"post\" id=\"p1\">"),
+    ("SN_WL_0001.xml", 2L,
+      "<attribute name=\"author\" value=\"alice w\"/>"),
+    ("SN_WL_0001.xml", 3L, "<token>hello</token>"),
+    ("SN_WL_0001.xml", 4L, "</post>"),
+    ("SN_WL_0001.xml", 5L,
+      "<attribute name=\"author\" value=\"outside block\"/>"),
+    ("SN_WL_0001.xml", 6L, "<post type=\"post\" id=\"p2\">"),
+    ("SN_WL_0001.xml", 7L,
+      "<attribute name=\"author\" value=\"bob\"/>" +
+        "<attribute name=\"author\" value=\"alice w\"/>"),
+    ("SN_WL_0001.xml", 8L,
+      "<attribute name=\"site\" value=\"not an author\"/>"),
+    ("SN_WL_0001.xml", 9L, "</post>"),
+    ("SN_WL_0001.xml", 10L, "</doc>"),
+    ("SN_NW_0002.xml", 0L, "<doc id=\"SN_NW_0002\">"),
+    ("SN_NW_0002.xml", 1L, "<post type=\"post\" id=\"p1\">"),
+    ("SN_NW_0002.xml", 2L,
+      "<attribute name=\"author\" value=\"carol\"/>"),
+    ("SN_NW_0002.xml", 3L, "</post>"),
+    ("SN_NW_0002.xml", 4L, "</doc>"))
+
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.conll.Scans.authorXmlScan(
+      authorXmlRows.toDF("fname", "lineno", "line"))
+  }
+
+  private def o59: String = {
+    val vals = authorXmlRows.map { case (f, i, l) =>
+      s"('$f', $i, '${l.replace("'", "''")}')"
+    }.mkString(", ")
+    s"""WITH raw(fname, lineno, line) AS (VALUES $vals),
+       |wl AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN contains(line, 'type="post"')
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY fname ORDER BY lineno
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS opens,
+       |    CAST(sum(CASE WHEN contains(line, '</post>')
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY fname ORDER BY lineno
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS closes
+       |  FROM raw WHERE string_split(fname, '_')[2] = 'WL')
+       |SELECT DISTINCT unnest(regexp_extract_all(line,
+       |  '<attribute[^>]*name="author"[^>]*value="([^"]*)"', 1))
+       |  AS author
+       |FROM wl
+       |WHERE opens > closes -
+       |  (CASE WHEN contains(line, '</post>') THEN 1 ELSE 0 END)
+       |  AND regexp_matches(line,
+       |    '<attribute[^>]*name="author"[^>]*value="([^"]*)"')
+       |ORDER BY author""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_fitted_transitions" -> (q29 _),
     "q55_decode_dict_oracle" -> (q55 _),
     "q56_postprocess_identity" -> (q56 _),
     "q57_insertion_restore" -> (q57 _),
-    "q58_triples_oracle" -> (q58 _))
+    "q58_triples_oracle" -> (q58 _),
+    "q59_author_xml_scan" -> (q59 _))
 
   val oracles: Map[String, String] = Map(
     "q29_fitted_transitions" -> o29,
     "q55_decode_dict_oracle" -> o55,
     "q56_postprocess_identity" -> s"WITH $oracleCte\n$mentionSelect",
     "q57_insertion_restore" -> s"WITH $oracleCte\n$mentionSelect",
-    "q58_triples_oracle" -> o58)
+    "q58_triples_oracle" -> o58,
+    "q59_author_xml_scan" -> o59)
 }

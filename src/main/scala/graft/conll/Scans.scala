@@ -48,6 +48,45 @@ object Scans {
       .filter(size(col("labels")) === 1)
       .select(col("span"), col("labels").getItem(0).as("label"))
 
+  /** Author-list XML scan (utils/extract_authors.py:6-26) without a
+    * DOM parser (none ships offline): WL-genre files only
+    * (`fname.split('_')[1] == "WL"`, extract_authors.py:11-13);
+    * `<attribute name="author" value="X"/>` elements inside post
+    * blocks are collected as a DISTINCT author set
+    * (extract_authors.py:18-22 collects into a set). Relational form:
+    * post-block membership is a running sum of open/close markers
+    * over line numbers (the same sessionizer pattern as the CoNLL
+    * scan; the reference's xpath parent constraint (any element with
+    * attribute type='post') is approximated by `type="post"` open and
+    * `</post>` close lines —
+    * a real LTF corpus with single-line documents would instead split
+    * the post element out first), and the value extraction is one
+    * RE2-safe regexp_extract_all. Input rows: (fname, lineno, line).
+    * Output: one row per distinct author, ordered. */
+  def authorXmlScan(rows: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fname").orderBy("lineno")
+    rows
+      .filter(element_at(split(col("fname"), "_"), 2) === "WL")
+      .withColumn("opens",
+        sum(when(col("line").contains("type=\"post\""), 1).otherwise(0))
+          .over(w))
+      .withColumn("closes",
+        sum(when(col("line").contains("</post>"), 1).otherwise(0))
+          .over(w))
+      // inside a post block: the opening line counts, the closing
+      // line's extraction still belongs to the block it closes
+      .filter(col("opens") > col("closes") -
+        when(col("line").contains("</post>"), 1).otherwise(0))
+      .select(explode(expr(
+        """regexp_extract_all(line,
+          |'<attribute[^>]*name="author"[^>]*value="([^"]*)"', 1)"""
+          .stripMargin.replace("\n", ""))).as("author"))
+      .filter(col("author") =!= "")
+      .distinct()
+      .orderBy("author")
+  }
+
   /** CoNLL prediction sink (main.py:75-82, 529-537): the
     * `word\tNNP\tNP\ttag` line format, one blank line between
     * sentences (flattened here as ordered rows; the blank-line framing

@@ -133,16 +133,24 @@ object VectorOps {
     }.toDF("id_a", "id_b", "cos", "rk")
   }
 
-  /** Deterministic pseudo-random hyperplane: component j of plane p =
-    * sin(p * 7919 + j * 104729) — fixed, engine-reproducible, no RNG
-    * state. Sign pattern over `planes` planes = the LSH bucket key. */
+  /** Deterministic pseudo-random hyperplane: component j of plane p is
+    * a Rademacher ±1 drawn from pure BIGINT hash arithmetic (multiply
+    * mod 2^31, top bit as the sign) — bit-reproducible in ANY SQL
+    * engine, unlike the round-1 sin() variant whose libm last-ulp sign
+    * flips made q24 un-oracle-able. Random-sign hyperplanes are the
+    * standard SimHash/SRP construction (Charikar 2002). The projection
+    * folds in index order (zip_with + sequential aggregate), so the
+    * float sum — and therefore the sign pattern — is bit-identical
+    * across engines. Sign pattern over `planes` planes = bucket key. */
   def hyperplaneSignature(unit: Column, planes: Int): Column =
     concat_ws("", (0 until planes).map { p =>
-      val h = aggregate(
-        zip_with(unit,
-          transform(sequence(lit(0), size(unit) - 1),
-            j => sin(j.cast("double") * 104729 + p * 7919)),
-          (x, y) => x * y),
+      val comp = transform(sequence(lit(0), size(unit) - 1), j => {
+        val x = pmod(j.cast("long") * 40503L + lit((p + 1L) * 104729L),
+          lit(2147483648L))
+        val b = pmod(x * 2654435761L, lit(2147483648L))
+        when(b < 1073741824L, lit(1.0d)).otherwise(lit(-1.0d))
+      })
+      val h = aggregate(zip_with(unit, comp, (x, y) => x * y),
         lit(0.0d), _ + _)
       when(h >= 0, "1").otherwise("0")
     }: _*)

@@ -121,4 +121,16 @@ class ConllOpsSpec extends SparkTestBase {
     assert(got.find(_.getString(0) == "world").get
       .getSeq[Double](1) == Seq(1.0, -1.0, 0.5))
   }
+
+  test("author XML scan: WL-only, post-block-only, distinct " +
+      "(extract_authors.py:6-26)") {
+    val s = spark
+    import s.implicits._
+    val got = graft.conll.Scans.authorXmlScan(
+      Queries7.authorXmlRows.toDF("fname", "lineno", "line"))
+      .collect().map(_.getString(0)).toSeq
+    // 'outside block' excluded (not inside a post), 'carol' excluded
+    // (NW genre), 'alice w' deduped across posts
+    assert(got == Seq("alice w", "bob"))
+  }
 }

@@ -35,18 +35,23 @@ class VectorOpsSpec extends SparkTestBase {
     assert(rows.head.getDouble(2) == 0.0) // orthogonal
   }
 
-  test("LSH neighbors ⊆ reasonable and agree with brute force on top-1 " +
-      "for in-bucket clusters") {
-    val bf = VectorOps.bruteForceTopK(emb, k = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("LSH top-1 equals the best IN-BUCKET candidate (the exact LSH " +
+      "contract, for any signature)") {
+    // full exact ranking: (id_a, id_b) -> cos with the pinned tie-break
+    val ranked = VectorOps.bruteForceTopK(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val sigs = VectorOps.withUnitVec(emb)
+      .withColumn("sig",
+        VectorOps.hyperplaneSignature(col("unit"), 2))
+      .select("vec_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val lsh = VectorOps.lshNeighbors(emb, planes = 2, k = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // every LSH top-1 must be the true top-1 IF the true top-1 shares
-    // the bucket; with 2 planes the tight clusters do
-    lsh.foreach { case (a, b) =>
-      assert(bf(a) == b || lsh.size < bf.size,
-        s"lsh($a)=$b but brute=$b")
+    val expected = ranked.groupBy(_._1).flatMap { case (a, rows) =>
+      rows.sortBy(_._3).map(_._2)
+        .find(b => sigs(b) == sigs(a)).map(a -> _)
     }
+    assert(lsh == expected)
     assert(lsh.nonEmpty)
   }
 
