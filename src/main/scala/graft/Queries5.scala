@@ -245,6 +245,55 @@ object Queries5 {
       s.read.parquet(s"$dir/embeddings.parquet"))
       .orderBy("id_a", "rk")
 
+  /** Oracle for IVF ANN — possible since the coarse quantizer rounds
+    * centroids to 6 dp (cell assignment becomes a pure function of
+    * quantized values; dots fold in index order on both engines;
+    * argmax ties break to the lowest cell id = the kernel's strict->
+    * scan). */
+  private def o46: String =
+    """WITH u AS (
+      |  SELECT vec_id, list_transform(generate_series(1, len(embedding)),
+      |    i -> embedding[i]::DOUBLE / sqrt(list_reduce(
+      |      list_prepend(0.0::DOUBLE,
+      |        list_transform(generate_series(1, len(embedding)),
+      |          j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)),
+      |      (a, x) -> a + x))) AS unit
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, i - 1 AS dim, round(avg(embedding[i]::DOUBLE), 6)
+      |    AS cv
+      |  FROM embeddings,
+      |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+      |      AS i)
+      |  GROUP BY label, i),
+      |cvec AS (
+      |  SELECT label, list(cv ORDER BY dim) AS c FROM cent
+      |  GROUP BY label),
+      |scores AS (
+      |  SELECT u.vec_id, u.unit, cvec.label,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(generate_series(1, len(u.unit)),
+      |        i -> u.unit[i] * cvec.c[i])), (a, x) -> a + x) AS d
+      |  FROM u CROSS JOIN cvec),
+      |cells AS (
+      |  SELECT vec_id, unit, label AS cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d DESC, label ASC) AS rkc
+      |    FROM scores) WHERE rkc = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(generate_series(1, len(a.unit)),
+      |        i -> a.unit[i] * b.unit[i])), (x, y) -> x + y), 4) AS cos
+      |  FROM cells a JOIN cells b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id_a
+      |    ORDER BY cos DESC, id_b ASC) AS rk
+      |  FROM pairs)
+      |SELECT id_a, id_b, cos, rk FROM ranked WHERE rk <= 5
+      |ORDER BY id_a, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_cosine_neardup" -> (q45 _),
     "q46_ivf_ann" -> (q46 _),
@@ -259,6 +308,7 @@ object Queries5 {
 
   val oracles: Map[String, String] = Map(
     "q45_cosine_neardup" -> o45,
+    "q46_ivf_ann" -> o46,
     "q37_setE_scan" -> o37,
     "q38_gazetteer_scan" -> o38,
     "q39_lookup_ambiguity" -> o39,

@@ -309,6 +309,34 @@ object Queries7 {
        |ORDER BY g.from_tag, g.to_tag""".stripMargin
   }
 
+  // ---- q60: ensemble Viterbi, hash-checked ----------------------------
+
+  /** Ensemble decode (decoders.py:202-238: average weights over
+    * models, then Viterbi) through the REAL [[graft.crf.Ensemble]]
+    * path, on the non-overlapping-match subset where the averaged
+    * fitted weights still force dictionary decoding (the 0.9×/1.1×
+    * perturbations average back to ≈1.0×, preserving every argmax
+    * margin). Same oracle as q55 — which is the point: the ensemble
+    * machinery must be decode-equivalent here. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.crf.Ensemble.Model(Crf.emissionWeights,
+      Crf.transitions)
+    def perturb(scale: Float) = graft.crf.Ensemble.Model(
+      Crf.emissionWeights.map(_.map(_ * scale)),
+      Crf.transitions.map(_.map(v =>
+        if (v == Crf.WALL) v else v * scale)))
+    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
+    val elig = eligibleDocs(s, dir).select("path")
+    val sents = Segmenter.sentences(corpus)
+    graft.crf.Ensemble
+      .ensembleTag(sents, Seq(base, perturb(0.9f), perturb(1.1f)))
+      .flatMap(graft.spans.Spans.extract _).toDF()
+      .join(elig, "path")
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
   // ---- q59: author-list XML scan (extract_authors.py) ----------------
 
   /** Inline XML fixture: WL file with two posts (one duplicated
@@ -375,7 +403,8 @@ object Queries7 {
     "q56_postprocess_identity" -> (q56 _),
     "q57_insertion_restore" -> (q57 _),
     "q58_triples_oracle" -> (q58 _),
-    "q59_author_xml_scan" -> (q59 _))
+    "q59_author_xml_scan" -> (q59 _),
+    "q60_ensemble_decode_oracle" -> (q60 _))
 
   val oracles: Map[String, String] = Map(
     "q29_fitted_transitions" -> o29,
@@ -383,5 +412,6 @@ object Queries7 {
     "q56_postprocess_identity" -> s"WITH $oracleCte\n$mentionSelect",
     "q57_insertion_restore" -> s"WITH $oracleCte\n$mentionSelect",
     "q58_triples_oracle" -> o58,
-    "q59_author_xml_scan" -> o59)
+    "q59_author_xml_scan" -> o59,
+    "q60_ensemble_decode_oracle" -> s"WITH $oracleCte\n$mentionSelect")
 }

@@ -205,9 +205,16 @@ object VectorOps {
     * partitions by cell — the 100 TB path when the broadcast
     * brute-force is impossible. */
   def ivfNeighbors(emb: DataFrame, k: Int = 5): DataFrame = {
+    // centroids quantized to 6 dp (HALF_UP, Spark round semantics):
+    // cell assignment then depends only on the quantized values, so it
+    // is reproducible in any engine (raw float means differ in the
+    // last ulp across summation orders) — recall is unaffected, the
+    // coarse quantizer is approximate by design
     val cents = centroids(emb)
       .select(col("label").as("cid"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray
+        .map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())))
       .sortBy(_._1)
     val spark = emb.sparkSession
     val bC = spark.sparkContext.broadcast(cents)
