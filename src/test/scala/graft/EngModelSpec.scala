@@ -83,6 +83,72 @@ class EngModelSpec extends SparkTestBase {
     assert(f1 >= 0.20, f"features-only F1 $f1%.4f < 0.20")
   }
 
+  test("discriminative full model (word identity + learned shape " +
+      "backoff) clears the closed-form floor on a quick run") {
+    assume(available)
+    // 60 epochs ≈ 33 s; the pinned 300/600-epoch runs measure
+    // 0.7483/0.7528 (vs closed form 0.7269) — see FitEval.trainFullModel
+    val model = FitEval.trainFullModel(spark, epochs = 60)
+    val s = spark
+    import s.implicits._
+    val testSents = graft.conll.ConllOps
+      .conllFileSentences(spark, FitEval.testPath)
+      .map(x => (x.sentId, x.words, x.tags.map(FitEval.tagIdOf)))
+    val gold = FitEval.spansOf(testSents.map { case (id, words, tags) =>
+      graft.core.TaggedSentence("eng", "test", id.toInt, words,
+        Array.tabulate(words.length)(i => i),
+        Array.tabulate(words.length)(i => i + 1),
+        tags.map(Dict.tags))
+    })
+    val pred = FitEval.spansOf(
+      FitCrf.tag(FitEval.toSentences(testSents), model))
+    val perType = SpanPRF1.evaluate(pred, gold).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tp = perType.map(_._1).sum.toDouble
+    val fp = perType.map(_._2).sum
+    val fn = perType.map(_._3).sum
+    val f1 = if (tp == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+    info(f"train-full 60-epoch span F1=$f1%.4f")
+    assert(f1 >= 0.70, f"train-full F1 $f1%.4f < 0.70")
+  }
+
+  test("word-feature gradient matches finite differences") {
+    import graft.crf.{Crf, CrfTrainer}
+    val s = CrfTrainer.WordSentence(
+      Array(1 << graft.features.Features.CAPITALIZED, 0, 1 << 2),
+      Array(0, 1, -1), Array(0, Crf.K - 1, 2))
+    val w = Array.tabulate(Crf.K, graft.features.Features.numFeatures)(
+      (t, f) => ((t * 7 + f) % 5 - 2) * 0.1f)
+    val wv = Array.tabulate(2, Crf.K)((v, t) => ((v + t) % 3 - 1) * 0.2f)
+    val tr = Array.tabulate(Crf.K + 2, Crf.K + 2) { (i, j) =>
+      if (Crf.walls(i)(j)) Crf.WALL else ((i + j) % 4 - 1) * 0.1f
+    }
+    def nllOf(wvX: Array[Array[Float]]): Double = {
+      val em = Array.tabulate(3) { t =>
+        val e = Crf.emit(s.masks(t), w)
+        if (s.wordIds(t) >= 0) {
+          var k = 0
+          while (k < Crf.K) { e(k) += wvX(s.wordIds(t))(k); k += 1 }
+        }
+        e
+      }
+      Crf.forward(em, tr) - Crf.goldScore(em, tr, s.tags)
+    }
+    val aw = new Array[Double](Crf.K * graft.features.Features.numFeatures)
+    val at = new Array[Double]((Crf.K + 2) * (Crf.K + 2))
+    val av = new Array[Double](2 * Crf.K)
+    CrfTrainer.sentenceGradWords(s, w, wv, tr, aw, at, av)
+    val eps = 1e-3f
+    for (v <- 0 until 2; k <- 0 until Crf.K) {
+      val plus = wv.map(_.clone()); plus(v)(k) += eps
+      val minus = wv.map(_.clone()); minus(v)(k) -= eps
+      val numeric = (nllOf(plus) - nllOf(minus)) / (2 * eps)
+      assert(math.abs(numeric - av(v * Crf.K + k)) < 1e-2,
+        s"dNLL/dwv($v)($k): numeric $numeric vs analytic " +
+          av(v * Crf.K + k))
+    }
+  }
+
   test("distributed fit == driver-side fit (shared counts->weights " +
       "arithmetic)") {
     assume(available)
