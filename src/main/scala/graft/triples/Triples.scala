@@ -17,11 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Triples {
 
-  /** Canonical node keys. Mention nodes key by (tag, lowercased text)
-    * so homonyms of different types never merge; entity nodes by KB id. */
-  private def mentionNode = concat(lit("m:"), col("tag"), lit(":"),
-    lower(col("text")))
-  private def entityNode = concat(lit("e:"), col("entityId"))
+  // Canonical node keys: mention nodes are "m:<tag>:<lower(text)>" so
+  // homonyms of different types never merge; entity nodes "e:<kbId>".
+  // Built inline over the deduped frame in materialize().
 
   /** Build the full triple table from linked mentions.
     * Stages: edge build (narrow) → connected components (iterative,
