@@ -66,6 +66,14 @@ object Cli {
       .toDF("sentId", "tokenIdx", "word", "tag")
   }
 
+  /** Write tagged tokens as the reference's prediction-line format —
+    * one text file of `word\tNNP\tNP\ttag` lines in sentence/token
+    * order (main.py:75-82 sink). */
+  def writePredictions(tagged: DataFrame, out: String): Unit =
+    graft.conll.Scans.conllSinkLines(tagged)
+      .select("line")
+      .coalesce(1).write.mode("overwrite").text(out)
+
   /** Span P/R/F1 of a fitted model on a gold CoNLL file: returns the
     * per-type frame (same shape as SpanPRF1.evaluate) and prints the
     * micro line. */
@@ -120,9 +128,8 @@ object Cli {
       case "tag" =>
         val model = ModelIO.loadFitted(spark, arg(args, "--model").get)
         val out = arg(args, "--out").get
-        graft.conll.Scans
-          .conllSinkLines(tagFile(spark, model, arg(args, "--in").get))
-          .coalesce(1).write.mode("overwrite").text(out)
+        writePredictions(tagFile(spark, model, arg(args, "--in").get),
+          out)
         println(s"predictions -> $out")
       case "eval" =>
         val model = ModelIO.loadFitted(spark, arg(args, "--model").get)

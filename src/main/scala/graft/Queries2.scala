@@ -130,8 +130,11 @@ object Queries2 {
     * — their bench numbers then measure the CC algorithms, not a
     * repeated edge derivation. */
   def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
+    // key by the sanitized path itself, not its hashCode — a 32-bit
+    // collision between two sfDirs in one session would silently serve
+    // the wrong edges
     val view = "graft_neardup_edges_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      dir.replaceAll("[^A-Za-z0-9]", "_")
     if (!s.catalog.tableExists(view)) {
       q11(s, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -72,10 +72,13 @@ object Queries7 {
           col("g.gram").as("gram"), col("g.cstart").as("cstart"),
           col("g.n").as("n"))
     }.reduce(_ unionByName _)
-    grams.join(broadcast(dict), col("gram") === col("entry"))
+    // match on the LOWERCASED gram (the kernel's matcher lowercases
+    // tokens before probing gazIndex) but keep the raw surface — the
+    // decode's mention text is the original casing
+    grams.join(broadcast(dict), lower(col("gram")) === col("entry"))
       .select(col("doc_id"), col("idx"), col("n"), col("cstart"),
         (col("cstart") + length(col("gram"))).as("cend"),
-        col("entry"), col("label"), col("entry_id"))
+        col("gram").as("text"), col("label"), col("entry_id"))
   }
 
   /** Eligible docs = clean docs whose matches are pairwise
@@ -129,9 +132,9 @@ object Queries7 {
        |grams AS (
        |  $gramBranches),
        |m AS (
-       |  SELECT doc_id, idx, n, cstart, cstart + length(entry) AS cend,
-       |    entry, label, entry_id
-       |  FROM grams JOIN gaz ON gram = entry),
+       |  SELECT doc_id, idx, n, cstart, cstart + length(gram) AS cend,
+       |    gram AS text, entry, label, entry_id
+       |  FROM grams JOIN gaz ON lower(gram) = entry),
        |bad AS (
        |  SELECT DISTINCT a.doc_id FROM m a JOIN m b ON a.doc_id = b.doc_id
        |    AND NOT (a.idx = b.idx AND a.n = b.n)
@@ -148,7 +151,7 @@ object Queries7 {
 
   private val mentionSelect =
     """SELECT repo, path, cstart AS start, cend AS "end",
-      |  entry AS text, label AS tag
+      |  text, label AS tag
       |FROM em ORDER BY path, start""".stripMargin
 
   // ---- q55: the real decode kernel vs dictionary matching ------------
@@ -300,12 +303,12 @@ object Queries7 {
        |  FROM counts GROUP BY 1)
        |SELECT g.from_tag AS from_tag, g.to_tag AS to_tag,
        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
-       |  round(CAST(CAST(ln((coalesce(c.n, 0) + 0.5) / (r.tot + 5.0))
-       |    AS REAL) AS DOUBLE), 4) AS w
+       |  round(CAST(CAST(ln((coalesce(c.n, 0) + 0.5) /
+       |    (coalesce(r.tot, 0) + 5.0)) AS REAL) AS DOUBLE), 4) AS w
        |FROM grid g
        |LEFT JOIN counts c
        |  ON c.from_tag = g.from_tag AND c.to_tag = g.to_tag
-       |JOIN rowtot r ON r.from_tag = g.from_tag
+       |LEFT JOIN rowtot r ON r.from_tag = g.from_tag
        |ORDER BY g.from_tag, g.to_tag""".stripMargin
   }
 
@@ -386,14 +389,14 @@ object Queries7 {
        |      THEN 1 ELSE 0 END) OVER (PARTITION BY fname ORDER BY lineno
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS closes
        |  FROM raw WHERE string_split(fname, '_')[2] = 'WL')
-       |SELECT DISTINCT unnest(regexp_extract_all(line,
-       |  '<attribute[^>]*name="author"[^>]*value="([^"]*)"', 1))
-       |  AS author
-       |FROM wl
-       |WHERE opens > closes -
-       |  (CASE WHEN contains(line, '</post>') THEN 1 ELSE 0 END)
-       |  AND regexp_matches(line,
-       |    '<attribute[^>]*name="author"[^>]*value="([^"]*)"')
+       |SELECT DISTINCT author FROM (
+       |  SELECT unnest(regexp_extract_all(line,
+       |    '<attribute[^>]*name="author"[^>]*value="([^"]*)"', 1))
+       |    AS author
+       |  FROM wl
+       |  WHERE opens > closes -
+       |    (CASE WHEN contains(line, '</post>') THEN 1 ELSE 0 END))
+       |WHERE author <> ''
        |ORDER BY author""".stripMargin
   }
 

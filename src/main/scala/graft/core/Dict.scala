@@ -24,6 +24,31 @@ object Dict {
   val K: Int = tags.size // 9
   val O: Int = tagId("O")
 
+  /** BIO/virtual-tag wall STRUCTURE (constraint set of
+    * decoders.py:17-25 / model_builder.py:13-22 + the START-column /
+    * END-row walls of decoders.py:48-58). Lives HERE, below every
+    * model object, so `Crf.emissionWeights → DefaultModel.fitted →
+    * FitCrf.weights → walls` never routes back into Crf — two threads
+    * initializing Crf and DefaultModel concurrently would otherwise
+    * deadlock on opposite-order lazy-val monitors. START = K,
+    * END = K+1 as everywhere. */
+  val walls: Array[Array[Boolean]] = {
+    val start = K; val end = K + 1
+    val w = Array.fill(K + 2, K + 2)(false)
+    for (from <- 0 until K + 2) w(from)(start) = true
+    for (to <- 0 until K + 2) w(end)(to) = true
+    for (x <- entityTypes) {
+      val iTag = tagId(s"I-$x")
+      w(O)(iTag) = true
+      w(start)(iTag) = true
+      for (y <- entityTypes if y != x) {
+        w(tagId(s"B-$y"))(iTag) = true
+        w(tagId(s"I-$y"))(iTag) = true
+      }
+    }
+    w
+  }
+
   /** English title words — semantics of ex_title (segnerfts.py:163-211;
     * NB the reference tests the token itself, not the preceding token,
     * despite its README — SURVEY.md §2.3). */

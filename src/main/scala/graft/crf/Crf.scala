@@ -28,23 +28,12 @@ object Crf {
     * decoders.py:17-25 / model_builder.py:13-22 plus the START-column /
     * END-row walls of decoders.py:48-58. A pure structural constant
     * (no weights), shared by the fitted default, [[CrfTrainer]] and
-    * [[FitCrf]]; extracting it breaks the old value/structure
-    * entanglement so fitted matrices can carry the same walls. */
-  lazy val walls: Array[Array[Boolean]] = {
-    val w = Array.fill(K + 2, K + 2)(false)
-    for (from <- 0 until K + 2) w(from)(START) = true
-    for (to <- 0 until K + 2) w(END)(to) = true
-    for (x <- Dict.entityTypes) {
-      val iTag = Dict.tagId(s"I-$x")
-      w(Dict.O)(iTag) = true
-      w(START)(iTag) = true
-      for (y <- Dict.entityTypes if y != x) {
-        w(Dict.tagId(s"B-$y"))(iTag) = true
-        w(Dict.tagId(s"I-$y"))(iTag) = true
-      }
-    }
-    w
-  }
+    * [[FitCrf]]. Lives in [[Dict]] (a forwarding def, no monitor) so
+    * the DefaultModel → FitCrf.weights path never re-enters Crf —
+    * concurrent first access of Crf.emissionWeights and
+    * DefaultModel.fitted would otherwise deadlock on opposite-order
+    * lazy-val monitors. */
+  def walls: Array[Array[Boolean]] = Dict.walls
 
   /** Default emission weights W(tag)(feature), K × 24 — FITTED, not
     * hand-set: closed-form log-odds (SURVEY.md §7.3) over the labeled

@@ -227,9 +227,12 @@ object FitCrf {
         c.rareTag.sum - c.rareTag(t), math.max(rareN, 1L), k)
     }
     // transitions: log P(to | from) over legal targets, reference wall
-    // structure pinned regardless of counts (decoders.py:17-25, 48-58)
+    // structure pinned regardless of counts (decoders.py:17-25, 48-58).
+    // Dict.walls, not Crf.walls: this path runs inside
+    // DefaultModel.fitted, which Crf's own lazy weights call into —
+    // touching Crf here would re-create the init cycle.
     val trans = Array.tabulate(N2, N2) { (i, j) =>
-      if (Crf.walls(i)(j)) WALL
+      if (Dict.walls(i)(j)) WALL
       else {
         val row = (0 until N2).map(c.bigram(i)(_)).sum
         math.log((c.bigram(i)(j) + k) / (row + k * (K + 1))).toFloat

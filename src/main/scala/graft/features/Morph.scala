@@ -136,18 +136,21 @@ object Morph {
   def lexiconAnalyzer(
       path: String = "/root/reference/utils/orm_norm/orm_lexicon.txt")
       : LexiconAnalyzer = {
-    val stems = scala.io.Source.fromFile(path, "UTF-8").getLines()
-      .flatMap { line =>
-        val fs = line.split('\t')
-        if (fs.length == 2) {
-          val orm = fs(1).replace("﻿", "").trim
-          val gloss = fs(0).trim.replaceAll("[\\s]+", ".")
-          if (orm.nonEmpty && !orm.contains(' ') && gloss.nonEmpty)
-            Some(ormNormalizeString(orm) -> gloss)
-          else None
-        } else None
-      }.toSeq.groupBy(_._1).view
-      .mapValues(_.map(_._2).distinct).toMap
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val stems =
+      try {
+        src.getLines().flatMap { line =>
+          val fs = line.split('\t')
+          if (fs.length == 2) {
+            val orm = fs(1).replace("﻿", "").trim
+            val gloss = fs(0).trim.replaceAll("[\\s]+", ".")
+            if (orm.nonEmpty && !orm.contains(' ') && gloss.nonEmpty)
+              Some(ormNormalizeString(orm) -> gloss)
+            else None
+          } else None
+        }.toSeq.groupBy(_._1).view
+          .mapValues(_.map(_._2).distinct).toMap
+      } finally src.close()
     new LexiconAnalyzer(stems, ormSuffixes)
   }
 

@@ -205,11 +205,13 @@ object VectorOps {
     * partitions by cell — the 100 TB path when the broadcast
     * brute-force is impossible. */
   def ivfNeighbors(emb: DataFrame, k: Int = 5): DataFrame = {
-    // centroids quantized to 6 dp (HALF_UP, Spark round semantics):
-    // cell assignment then depends only on the quantized values, so it
-    // is reproducible in any engine (raw float means differ in the
-    // last ulp across summation orders) — recall is unaffected, the
-    // coarse quantizer is approximate by design
+    // centroids quantized to 6 dp (HALF_UP): cell assignment then
+    // depends on quantized values, shrinking the cross-engine
+    // divergence window from every-ulp (raw float means differ by
+    // summation order) to means landing within an ulp of a .5e-6
+    // decimal boundary — not provably zero, but the q46 gate is
+    // deterministic for a fixed dataset and the quantizer is
+    // approximate by design (recall unaffected)
     val cents = centroids(emb)
       .select(col("label").as("cid"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray

@@ -21,12 +21,15 @@ class CliSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("cli").toString
     ModelIO.saveFitted(spark, model, s"$dir/m")
     val loaded = ModelIO.loadFitted(spark, s"$dir/m")
-    // tag writes the reference's prediction-line format
+    // tag writes the reference's prediction-line format — exercise the
+    // ACTUAL write path (a multi-column frame through text() throws)
     val tagged = Cli.tagFile(spark, loaded, testPath)
     assert(tagged.count() > 40000) // eng.test tokens
-    val lines = graft.conll.Scans.conllSinkLines(tagged)
-      .limit(5).collect().map(_.getString(2))
-    assert(lines.forall(_.split('\t').length == 4))
+    Cli.writePredictions(tagged, s"$dir/pred")
+    val written = spark.read.text(s"$dir/pred").collect()
+      .map(_.getString(0))
+    assert(written.length > 40000)
+    assert(written.take(5).forall(_.split('\t').length == 4))
     // eval on the fit file: train==test here, so F1 must be high —
     // this checks the whole serve+score path, not model quality
     val perType = Cli.evalModel(spark, loaded, testPath).collect()
