@@ -340,6 +340,23 @@ object Queries7 {
       .orderBy("path", "start")
   }
 
+  // ---- q61: softmax-classifier decode, hash-checked --------------------
+
+  /** The reference's per-token classifier decoder (decoders.py:241-269
+    * — argmax per token, no transitions) over the eligible subset:
+    * with gaz-dominant fitted emissions, independent classification
+    * equals dictionary matching too, so the same oracle pins it. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
+    val elig = eligibleDocs(s, dir).select("path")
+    Crf.classifyTag(Segmenter.sentences(corpus), Crf.emissionWeights)
+      .flatMap(graft.spans.Spans.extract _).toDF()
+      .join(elig, "path")
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
   // ---- q59: author-list XML scan (extract_authors.py) ----------------
 
   /** Inline XML fixture: WL file with two posts (one duplicated
@@ -407,7 +424,8 @@ object Queries7 {
     "q57_insertion_restore" -> (q57 _),
     "q58_triples_oracle" -> (q58 _),
     "q59_author_xml_scan" -> (q59 _),
-    "q60_ensemble_decode_oracle" -> (q60 _))
+    "q60_ensemble_decode_oracle" -> (q60 _),
+    "q61_classifier_decode" -> (q61 _))
 
   val oracles: Map[String, String] = Map(
     "q29_fitted_transitions" -> o29,
@@ -416,5 +434,6 @@ object Queries7 {
     "q57_insertion_restore" -> s"WITH $oracleCte\n$mentionSelect",
     "q58_triples_oracle" -> o58,
     "q59_author_xml_scan" -> o59,
-    "q60_ensemble_decode_oracle" -> s"WITH $oracleCte\n$mentionSelect")
+    "q60_ensemble_decode_oracle" -> s"WITH $oracleCte\n$mentionSelect",
+    "q61_classifier_decode" -> s"WITH $oracleCte\n$mentionSelect")
 }

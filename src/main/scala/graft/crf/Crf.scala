@@ -187,6 +187,55 @@ object Crf {
       trans: Array[Array[Float]], tags: Array[Int]): Double =
     forward(emissions, trans) - goldScore(emissions, trans, tags)
 
+  /** Per-token softmax-classifier decode (decoders.py:241-269): argmax
+    * over the emission scores token by token — NO transition
+    * structure, np.argmax first-max tie-break. The reference's
+    * independent-classification alternative to the chain CRF. */
+  def classify(emissions: Array[Array[Float]]): Array[Int] =
+    emissions.map { em =>
+      var best = 0
+      var i = 1
+      while (i < em.length) {
+        if (em(i) > em(best)) best = i // first max wins
+        i += 1
+      }
+      best
+    }
+
+  /** The classifier's mean per-token NLL (decoders.py:246-261:
+    * pickneglogsoftmax averaged over tokens). */
+  def classifierNll(emissions: Array[Array[Float]],
+      tags: Array[Int]): Double = {
+    require(tags.length == emissions.length && tags.nonEmpty)
+    var s = 0.0
+    var t = 0
+    while (t < tags.length) {
+      val em = emissions(t).map(_.toDouble)
+      s += logSumExp(em) - em(tags(t))
+      t += 1
+    }
+    s / tags.length
+  }
+
+  /** Classifier decode over a sentence stream — same fused narrow
+    * kernel shape as [[tag]], transitions unused. */
+  def classifyTag(sentences: Dataset[Sentence],
+      w: Array[Array[Float]]): Dataset[TaggedSentence] = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    val bW = spark.sparkContext.broadcast(w)
+    val bGaz = spark.sparkContext.broadcast(Dict.gazIndex)
+    sentences.mapPartitions { it =>
+      val w0 = bW.value; val gaz = bGaz.value
+      it.map { s =>
+        val masks = Features.sentenceBits(s.tokens, gaz)
+        val path = classify(masks.map(emit(_, w0)))
+        TaggedSentence(s.repo, s.path, s.sentIdx, s.tokens, s.starts,
+          s.ends, path.map(Dict.tags))
+      }
+    }
+  }
+
   /** Brute-force exact decode for property tests (enumerates all K^T
     * paths). Tie-break matches the DP's first-max backtrace exactly:
     * among max-score paths, the one whose REVERSED tag sequence is

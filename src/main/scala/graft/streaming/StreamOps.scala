@@ -81,6 +81,21 @@ object StreamOps {
       : org.apache.spark.sql.Dataset[graft.core.Mention] =
     graft.pipeline.Pipeline.mentions(files)
 
+  /** Streaming decode under ANY fitted model artifact
+    * ([[graft.io.ModelIO.loadFitted]] → here): the FittedModel serve
+    * kernel is the same stateless narrow mapPartitions as the default
+    * path, so a trained/fitted model tags an unbounded stream
+    * unchanged — load once, broadcast, `readStream` through. */
+  def streamingFittedMentions(
+      files: org.apache.spark.sql.Dataset[graft.core.SourceFile],
+      model: graft.crf.FitCrf.FittedModel)
+      : org.apache.spark.sql.Dataset[graft.core.Mention] = {
+    import files.sparkSession.implicits._
+    graft.crf.FitCrf
+      .tag(graft.segment.Segmenter.sentences(files), model)
+      .flatMap(graft.spans.Spans.extract _)
+  }
+
   /** Streaming entity linking: like the decode kernel, the linker is a
     * stateless narrow map over a broadcast dictionary, so the whole
     * ingest-time path corpus → mentions → linked mentions runs under

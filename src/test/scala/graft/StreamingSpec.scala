@@ -106,6 +106,30 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("streaming decode under a FITTED model artifact == its batch " +
+      "twin (load once, readStream through)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val model = graft.crf.DefaultModel.fitted
+    val files = graft.core.Corpus.synthesize(spark, 20).collect().toSeq
+    val mem = MemoryStream[graft.core.SourceFile]
+    mem.addData(files: _*)
+    val q = StreamOps.streamingFittedMentions(mem.toDS(), model)
+      .writeStream.format("memory").queryName("sf")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val key = Seq("repo", "path", "sentIdx", "start")
+    val stream = spark.table("sf").orderBy(key.head, key.tail: _*)
+      .collect().map(_.toString).toSeq
+    val batch = graft.crf.FitCrf.tag(
+        graft.segment.Segmenter.sentences(files.toDS()), model)
+      .flatMap(graft.spans.Spans.extract _).toDF()
+      .orderBy(key.head, key.tail: _*)
+      .collect().map(_.toString).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("streaming dedup drops repeated event ids within watermark") {
     val s = spark
     import s.implicits._

@@ -59,6 +59,45 @@ class ViterbiSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier decode: per-token argmax, np.argmax first-max " +
+      "tie-break (decoders.py:241-269)") {
+    val em = Array(
+      Array(1f, 3f, 3f, 0f, 0f, 0f, 0f, 0f, 0f), // tie 1 vs 2 → 1
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 5f),
+      Array(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)) // all tie → 0
+    assert(Crf.classify(em).toSeq == Seq(1, 8, 0))
+  }
+
+  test("classifier NLL is the mean per-token -log softmax(gold)") {
+    val em = Array(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val z = math.log(math.exp(1.0) + 8 * math.exp(0.0))
+    val expected = z - 1.0
+    assert(math.abs(Crf.classifierNll(em, Array(0)) - expected) < 1e-9)
+    // wrong gold costs more
+    assert(Crf.classifierNll(em, Array(1)) >
+      Crf.classifierNll(em, Array(0)))
+  }
+
+  test("classifier equals Viterbi when transitions cannot compete " +
+      "(gaz-dominant fitted emissions, non-overlapping sentences)") {
+    for (i <- 0L until 50L) {
+      val gen = graft.core.Corpus.genFile(i, 17L, 50L)
+      graft.segment.Segmenter.segment(gen.file.content).foreach {
+        case (_, toks, _, _) =>
+          val masks = graft.features.Features
+            .sentenceBits(toks, Dict.gazIndex)
+          val overlap = masks.exists(m => java.lang.Integer.bitCount(
+            (m >>> graft.features.Features.B_GAZ) & 0xFF) > 1)
+          if (!overlap) {
+            val em = masks.map(Crf.emit(_, Crf.emissionWeights))
+            assert(Crf.classify(em).toSeq ==
+              Crf.viterbi(em, Crf.transitions).toSeq,
+              toks.mkString(" "))
+          }
+      }
+    }
+  }
+
   test("transition matrix has the reference wall structure") {
     val tr = Crf.transitions
     (0 until K + 2).foreach { f => assert(tr(f)(Crf.START) == Crf.WALL) }
