@@ -76,11 +76,21 @@ object Bench {
       s""""triples":$triples,"replication":$replication,""" +
       s""""cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // Driver contract: the full line above is ~3.7 KB and the driver's
+    // tail window has truncated it mid-line two rounds running
+    // (BENCH_r01/r02 parsed:null). Print a SHORT (<200 B) metric-only
+    // line LAST so any tail capture ends with one complete JSON object;
+    // per-query detail stays in the full line + BENCH_LOCAL.json.
+    val shortJson =
+      s"""{"metric":"pipeline_triples_per_sec","value":$tps,""" +
+      s""""unit":"triples/sec","pipeline_sec":$pipeSec,""" +
+      s""""triples":$triples,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(shortJson)
     // Belt-and-braces for the driver contract: sbt may decorate stdout
     // (round-1 BENCH parsed:null), so the bare metric line also lands in
     // a known file next to the build.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n" + shortJson + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

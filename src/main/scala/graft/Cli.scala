@@ -34,8 +34,17 @@ object Cli {
 
   private def arg(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(name)
-    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    // a following flag token is NOT a value: `tag --model --in x`
+    // means --model is missing, not --model="--in"
+    if (i >= 0 && i + 1 < args.length && !args(i + 1).startsWith("--"))
+      Some(args(i + 1))
+    else None
   }
+
+  /** Required flag: usage error, not a bare NoSuchElementException. */
+  private def req(args: Array[String], name: String): String =
+    arg(args, name).getOrElse(
+      sys.error(s"missing required flag $name <value>"))
 
   def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -109,7 +118,7 @@ object Cli {
     args(0) match {
       case "fit" =>
         val trainPath = arg(args, "--train").getOrElse(FitEval.trainPath)
-        val out = arg(args, "--out").get
+        val out = req(args, "--out")
         val model = FitCrf.fit(FitEval.labeled(spark, trainPath),
           k = arg(args, "--k").map(_.toDouble).getOrElse(0.1),
           minCount = arg(args, "--min-count").map(_.toLong).getOrElse(2L),
@@ -118,7 +127,7 @@ object Cli {
         ModelIO.saveFitted(spark, model, out)
         println(s"fitted model (vocab ${model.wordW.size}) -> $out")
       case "train" =>
-        val out = arg(args, "--out").get
+        val out = req(args, "--out")
         val model = FitEval.trainFullModel(spark,
           epochs = arg(args, "--epochs").map(_.toInt).getOrElse(300),
           lr = arg(args, "--lr").map(_.toDouble).getOrElse(1.0),
@@ -126,18 +135,18 @@ object Cli {
         ModelIO.saveFitted(spark, model, out)
         println(s"trained model (vocab ${model.wordW.size}) -> $out")
       case "tag" =>
-        val model = ModelIO.loadFitted(spark, arg(args, "--model").get)
-        val out = arg(args, "--out").get
-        writePredictions(tagFile(spark, model, arg(args, "--in").get),
+        val model = ModelIO.loadFitted(spark, req(args, "--model"))
+        val out = req(args, "--out")
+        writePredictions(tagFile(spark, model, req(args, "--in")),
           out)
         println(s"predictions -> $out")
       case "eval" =>
-        val model = ModelIO.loadFitted(spark, arg(args, "--model").get)
-        evalModel(spark, model, arg(args, "--test").get)
+        val model = ModelIO.loadFitted(spark, req(args, "--model"))
+        evalModel(spark, model, req(args, "--test"))
           .orderBy("tag").show(20, truncate = false)
       case "kg" =>
-        val corpus = arg(args, "--corpus").get
-        val out = arg(args, "--out").get
+        val corpus = req(args, "--corpus")
+        val out = req(args, "--out")
         import spark.implicits._
         graft.pipeline.Pipeline.triples(
           graft.core.Corpus.fromDocuments(spark, corpus)

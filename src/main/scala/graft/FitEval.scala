@@ -67,12 +67,20 @@ object FitEval {
     }
     val (w, wv, tr, _) =
       graft.crf.CrfTrainer.trainWords(data, V + S + 1, epochs, lr, l2)
+    // The catch-all OOV row V+S is never assigned to a training token
+    // (every training word is in vocab or has a rare shape), so its
+    // trained row only ever sees the l2 gradient of a zero init and
+    // stays zero. Serve the closed-form rare-population log-odds as
+    // shapeDefault instead, matching FitCrf.weights' estimate for
+    // unseen-shape tokens.
+    val closedForm =
+      FitCrf.weights(FitCrf.countStats(train, minCount = 2, rareMax = 1))
     FitCrf.FittedModel(w,
       vocab.zipWithIndex.map { case (word, i) => word -> wv(i) }.toMap,
       rareShapes.zipWithIndex.map { case (sh, i) =>
         sh -> wv(V + i)
       }.toMap,
-      wv(V + S), tr, 1f)
+      closedForm.shapeDefault, tr, 1f)
   }
 
   /** CoNLL-2003 tag string → engine tag id. MISC ↔ GPE bijection. */

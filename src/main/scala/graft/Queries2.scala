@@ -130,11 +130,13 @@ object Queries2 {
     * — their bench numbers then measure the CC algorithms, not a
     * repeated edge derivation. */
   def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
-    // key by the sanitized path itself, not its hashCode — a 32-bit
-    // collision between two sfDirs in one session would silently serve
-    // the wrong edges
+    // the sanitized path alone can collide (/data/sf0.1 vs /data/sf0_1
+    // both map to _data_sf0_1), so the view key carries the full
+    // SHA-256 of the raw path — collision-free in practice
     val view = "graft_neardup_edges_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     if (!s.catalog.tableExists(view)) {
       q11(s, dir)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -300,15 +300,20 @@ object Queries7 {
        |    ('B-' || substr(t.tag, 3), 'I-' || substr(t.tag, 3)))),
        |rowtot AS (
        |  SELECT from_tag, CAST(sum(n) AS BIGINT) AS tot
-       |  FROM counts GROUP BY 1)
+       |  FROM counts GROUP BY 1),
+       |legalcnt AS (
+       |  SELECT from_tag, CAST(count(*) AS BIGINT) AS legal
+       |  FROM grid GROUP BY 1)
        |SELECT g.from_tag AS from_tag, g.to_tag AS to_tag,
        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
        |  round(CAST(CAST(ln((coalesce(c.n, 0) + 0.5) /
-       |    (coalesce(r.tot, 0) + 5.0)) AS REAL) AS DOUBLE), 4) AS w
+       |    (coalesce(r.tot, 0) + 0.5 * l.legal)) AS REAL) AS DOUBLE), 4)
+       |    AS w
        |FROM grid g
        |LEFT JOIN counts c
        |  ON c.from_tag = g.from_tag AND c.to_tag = g.to_tag
        |LEFT JOIN rowtot r ON r.from_tag = g.from_tag
+       |JOIN legalcnt l ON l.from_tag = g.from_tag
        |ORDER BY g.from_tag, g.to_tag""".stripMargin
   }
 

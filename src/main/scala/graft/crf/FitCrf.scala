@@ -235,7 +235,11 @@ object FitCrf {
       if (Dict.walls(i)(j)) WALL
       else {
         val row = (0 until N2).map(c.bigram(i)(_)).sum
-        math.log((c.bigram(i)(j) + k) / (row + k * (K + 1))).toFloat
+        // add-k over the LEGAL (non-walled) targets of this row only,
+        // so each row is a normalized log P(to|from): walls remove a
+        // per-row-varying number of targets (e.g. the 4 I-tags from O)
+        val legal = (0 until N2).count(j2 => !Dict.walls(i)(j2))
+        math.log((c.bigram(i)(j) + k) / (row + k * legal)).toFloat
       }
     }
     FittedModel(featW, wordW, shapeW, shapeDefault, trans, lambda)
