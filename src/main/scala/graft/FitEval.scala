@@ -41,7 +41,8 @@ object FitEval {
     * Measured on eng.test: F1 0.7230 @20 epochs, 0.7483 @300
     * (lr=1, l2=3e-5), 0.7528 @600 — vs the closed form's 0.7269. */
   def trainFullModel(spark: SparkSession, epochs: Int = 300,
-      lr: Double = 1.0, l2: Double = 3e-5): FitCrf.FittedModel = {
+      lr: Double = 1.0, l2: Double = 3e-5,
+      clusters: Map[String, Int] = Map.empty): FitCrf.FittedModel = {
     import spark.implicits._
     val train = labeled(spark, trainPath)
     val wordFreq = train.flatMap(_.words).groupBy("value").count()
@@ -52,10 +53,12 @@ object FitEval {
       .map(w => FitCrf.shapeOf(graft.features.Features.tokenBits(w)))
       .distinct.sorted
     val V = vocab.length; val S = rareShapes.length
+    val C = if (clusters.isEmpty) 0 else clusters.values.max + 1
     val bV = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
     val bS = spark.sparkContext.broadcast(rareShapes.zipWithIndex.toMap)
+    val bC = spark.sparkContext.broadcast(clusters)
     val data = train.map { t =>
-      val vmap = bV.value; val smap = bS.value
+      val vmap = bV.value; val smap = bS.value; val cmap = bC.value
       val masks =
         graft.features.Features.sentenceBits(t.words, Dict.gazIndex)
       val ids = Array.tabulate(t.words.length) { i =>
@@ -63,10 +66,20 @@ object FitEval {
           smap.get(FitCrf.shapeOf(masks(i)))
             .map(_ + V).getOrElse(V + S))
       }
-      graft.crf.CrfTrainer.WordSentence(masks, ids, t.tags)
+      // Brown-cluster rows live after the word/shape/default block in
+      // the same weight matrix (exact-then-lowercase lookup, matching
+      // FitCrf.emit's serving policy)
+      val cids =
+        if (cmap.isEmpty) Array.empty[Int]
+        else Array.tabulate(t.words.length) { i =>
+          cmap.get(t.words(i))
+            .orElse(cmap.get(t.words(i).toLowerCase))
+            .map(V + S + 1 + _).getOrElse(-1)
+        }
+      graft.crf.CrfTrainer.WordSentence(masks, ids, t.tags, cids)
     }
     val (w, wv, tr, _) =
-      graft.crf.CrfTrainer.trainWords(data, V + S + 1, epochs, lr, l2)
+      graft.crf.CrfTrainer.trainWords(data, V + S + 1 + C, epochs, lr, l2)
     // The catch-all OOV row V+S is never assigned to a training token
     // (every training word is in vocab or has a rare shape), so its
     // trained row only ever sees the l2 gradient of a zero init and
@@ -80,7 +93,9 @@ object FitEval {
       rareShapes.zipWithIndex.map { case (sh, i) =>
         sh -> wv(V + i)
       }.toMap,
-      closedForm.shapeDefault, tr, 1f)
+      closedForm.shapeDefault, tr, 1f,
+      clusters = clusters,
+      clusterW = (0 until C).map(j => j -> wv(V + S + 1 + j)).toMap)
   }
 
   /** CoNLL-2003 tag string → engine tag id. MISC ↔ GPE bijection. */
@@ -113,6 +128,32 @@ object FitEval {
         Array.tabulate(words.length)(i => i),
         Array.tabulate(words.length)(i => i + 1))
     }
+  }
+
+  /** Micro P/R/F1 of a fitted model against cached gold spans. */
+  def microF1(model: FitCrf.FittedModel,
+      sents: org.apache.spark.sql.Dataset[Sentence], gold: DataFrame)
+      : (Double, Double, Double) = {
+    val perType = SpanPRF1.evaluate(spansOf(FitCrf.tag(sents, model)),
+      gold).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tp = perType.map(_._1).sum.toDouble
+    val fp = perType.map(_._2).sum
+    val fn = perType.map(_._3).sum
+    val p = tp / math.max(tp + fp, 1)
+    val r = tp / math.max(tp + fn, 1)
+    (p, r, if (p + r == 0) 0.0 else 2 * p * r / (p + r))
+  }
+
+  /** Brown clusters of eng.train (trained in-session, ~12 s — the
+    * reference's external `--brown_cluster_path` input, built by
+    * [[graft.features.Brown]]). */
+  def engClusters(spark: SparkSession, numClusters: Int = 128)
+      : Map[String, Int] = {
+    import spark.implicits._
+    graft.features.Brown.clusterMap(graft.features.Brown.cluster(
+      ConllOps.conllFileSentences(spark, trainPath).map(_.words),
+      numClusters = numClusters))
   }
 
   def main(args: Array[String]): Unit = {
@@ -212,8 +253,37 @@ object FitEval {
       }
     }
 
+    // Brown-cluster delta: closed form and discriminative, with and
+    // without cluster features, on identical data (VERDICT r2 ask 2).
+    if (args.contains("--clusters")) {
+      val numC = args.filter(_.startsWith("--num-clusters="))
+        .map(_.drop(15).toInt).headOption.getOrElse(128)
+      val t0 = System.nanoTime()
+      val cmap = engClusters(spark, numC)
+      println(f"brown: $numC clusters over ${cmap.size} words in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // the pinned engModel configuration (k=0.1, rareMax=2, λ=0)
+      val base = FitCrf.fit(train, k = 0.1, minCount = 2, rareMax = 2,
+        lambda = 0f)
+      val (p0, r0, f0) = microF1(base, sents, gold)
+      println(f"closed-form  no-clusters: P=$p0%.4f R=$r0%.4f F1=$f0%.4f")
+      val withC = FitCrf.fitWithClusters(train, cmap, k = 0.1,
+        minCount = 2, rareMax = 2, lambda = 0f)
+      val (p1, r1, f1c) = microF1(withC, sents, gold)
+      println(f"closed-form with-clusters: P=$p1%.4f R=$r1%.4f F1=$f1c%.4f")
+      val epochs = args.filter(_.startsWith("--epochs="))
+        .map(_.drop(9).toInt).headOption.getOrElse(300)
+      val t1 = System.nanoTime()
+      val trained = trainFullModel(spark, epochs, clusters = cmap)
+      println(f"train-full+clusters: $epochs epochs in " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val (p2, r2, f2) = microF1(trained, sents, gold)
+      println(f"train-full with-clusters: P=$p2%.4f R=$r2%.4f F1=$f2%.4f")
+    }
+
     val sweepConfigs =
-      if (args.exists(_.startsWith("--train"))) Seq.empty else configs
+      if (args.exists(_.startsWith("--train")) ||
+        args.contains("--clusters")) Seq.empty else configs
     for ((k, mc, rm, lam) <- sweepConfigs) {
       val t0 = System.nanoTime()
       val model = FitCrf.fit(train, k, mc, rm, lam)

@@ -30,24 +30,40 @@ object Queries2 {
   /** Every 1/2-gram of every document matched against the broadcast
     * dictionary (reference sliding gaz match, segnerfts.py:55-85,
     * recast as explode + broadcast equi-join). */
-  private def q10(s: SparkSession, dir: String): DataFrame = {
+  /** The q10 match derivation, materialized once per (session, sfDir):
+    * q13's P/R/F1 aggregator consumes its gold side in several join
+    * branches (tp equi-join + two anti-joins), which re-ran this
+    * explode+join per branch in round 2 (q13 2.17 → 5.62 s). Same
+    * pattern and key scheme as [[nearDupEdges]]. */
+  private def gazMatches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dict = dictRows.toDF("entry", "label")
-    val grams = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """flatten(array(
-          |  transform(w, (x, i) -> struct(i AS idx, x AS gram, 1 AS n)),
-          |  transform(sequence(0, greatest(size(w)-2, -1)),
-          |    i -> struct(i AS idx, concat(w[i], ' ', w[i+1]) AS gram,
-          |                2 AS n))))""".stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.idx").as("idx"),
-        col("g.gram").as("gram"), col("g.n").as("n"))
-    grams.join(broadcast(dict), grams("gram") === dict("entry"))
-      .select(col("doc_id"), col("idx"), col("entry"), col("label"),
-        col("n"))
-      .orderBy("doc_id", "idx", "n")
+    val view = "graft_gaz_matches_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (!s.catalog.tableExists(view)) {
+      val dict = dictRows.toDF("entry", "label")
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """flatten(array(
+            |  transform(w, (x, i) -> struct(i AS idx, x AS gram, 1 AS n)),
+            |  transform(sequence(0, greatest(size(w)-2, -1)),
+            |    i -> struct(i AS idx, concat(w[i], ' ', w[i+1]) AS gram,
+            |                2 AS n))))""".stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.idx").as("idx"),
+          col("g.gram").as("gram"), col("g.n").as("n"))
+      grams.join(broadcast(dict), grams("gram") === dict("entry"))
+        .select(col("doc_id"), col("idx"), col("entry"), col("label"),
+          col("n"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView(view)
+    }
+    s.table(view)
   }
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    gazMatches(s, dir).orderBy("doc_id", "idx", "n")
 
   private def o10: String =
     s"""WITH dict(entry, label) AS (VALUES $dictValuesSql),

@@ -108,6 +108,44 @@ object Queries7 {
           col("doc_id").cast("string"), lit(".txt")).as("path"))
   }
 
+  // ---- shared flagship derivations, materialized once per session ----
+
+  /** (session, sfDir)-scoped materialization (the nearDupEdges
+    * pattern, VERDICT r2 ask 4): q55–q61 all need (eligibility,
+    * segmented sentences, fused decode) and were each re-deriving them
+    * from scratch — ~46% of the round-2 correctness-gate wall was six
+    * repeats of the same eligibility join + corpus decode. One eager
+    * localCheckpoint per derivation makes each query measure ITS
+    * operator. View key = SHA-256 of the raw dir (collision-free);
+    * fresh sessions (each timed bench run) still pay the full
+    * derivation once — cold-cache honesty is preserved. */
+  private def sharedView(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val view = s"graft_q7_${name}_$key"
+    if (!s.catalog.tableExists(view))
+      build.localCheckpoint(true).createOrReplaceTempView(view)
+    s.table(view)
+  }
+
+  private def eligV(s: SparkSession, dir: String): DataFrame =
+    sharedView(s, dir, "elig")(eligibleDocs(s, dir))
+
+  private def sentsV(s: SparkSession, dir: String): DataFrame =
+    sharedView(s, dir, "sents") {
+      import s.implicits._
+      Segmenter.sentences(Corpus.fromDocuments(s, dir).as[SourceFile])
+        .toDF()
+    }
+
+  private def mentionsV(s: SparkSession, dir: String): DataFrame =
+    sharedView(s, dir, "mentions") {
+      import s.implicits._
+      Pipeline.mentions(Corpus.fromDocuments(s, dir).as[SourceFile])
+        .toDF()
+    }
+
   /** Per-n gram branches (DuckDB cannot chain LATERALs that reference
     * the previous lateral's column, so n is unrolled like o10). */
   private def gramBranches: String = (1 to maxEntryLen).map { n =>
@@ -157,10 +195,8 @@ object Queries7 {
   // ---- q55: the real decode kernel vs dictionary matching ------------
 
   private def q55(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
-    val elig = eligibleDocs(s, dir).select("path")
-    Pipeline.mentions(corpus).toDF()
+    val elig = eligV(s, dir).select("path")
+    mentionsV(s, dir)
       .join(elig, "path")
       .select("repo", "path", "start", "end", "text", "tag")
       .orderBy("path", "start")
@@ -172,12 +208,11 @@ object Queries7 {
 
   private def q56(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
-    val elig = eligibleDocs(s, dir).select("path")
-    val sentsE = Segmenter.sentences(corpus).toDF().join(elig, "path")
+    val elig = eligV(s, dir).select("path")
+    val sentsE = sentsV(s, dir).join(elig, "path")
       .select(col("repo"), col("path"), col("sentIdx"), col("tokens"),
         col("starts"), col("ends")).as[Sentence]
-    val mentE = Pipeline.mentions(corpus).toDF().join(elig, "path")
+    val mentE = mentionsV(s, dir).join(elig, "path")
       .select(col("repo"), col("path"), col("sentIdx"), col("start"),
         col("end"), col("text"), col("tag"), col("conf")).as[Mention]
     PostProcess(sentsE, mentE).toDF()
@@ -189,14 +224,13 @@ object Queries7 {
 
   private def q57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
-    val eligD = eligibleDocs(s, dir)
+    val eligD = eligV(s, dir)
     val elig = eligD.select("path")
-    val sentsE = Segmenter.sentences(corpus).toDF().join(elig, "path")
+    val sentsE = sentsV(s, dir).join(elig, "path")
       .select(col("repo"), col("path"), col("sentIdx"), col("tokens"),
         col("starts"), col("ends")).as[Sentence]
     // simulate model misses: drop every mention in doc_id % 7 == 0 docs
-    val kept = Pipeline.mentions(corpus).toDF()
+    val kept = mentionsV(s, dir)
       .join(eligD.select("doc_id", "path"), "path")
       .filter(pmod(col("doc_id"), lit(7)) =!= 0)
       .select(col("repo"), col("path"), col("sentIdx"), col("start"),
@@ -210,9 +244,8 @@ object Queries7 {
 
   private def q58(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
-    val elig = eligibleDocs(s, dir).select("path")
-    val mentE = Pipeline.mentions(corpus).toDF().join(elig, "path")
+    val elig = eligV(s, dir).select("path")
+    val mentE = mentionsV(s, dir).join(elig, "path")
       .select(col("repo"), col("path"), col("sentIdx"), col("start"),
         col("end"), col("text"), col("tag"), col("conf")).as[Mention]
     Triples.materialize(Linker.link(mentE))
@@ -334,9 +367,8 @@ object Queries7 {
       Crf.emissionWeights.map(_.map(_ * scale)),
       Crf.transitions.map(_.map(v =>
         if (v == Crf.WALL) v else v * scale)))
-    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
-    val elig = eligibleDocs(s, dir).select("path")
-    val sents = Segmenter.sentences(corpus)
+    val elig = eligV(s, dir).select("path")
+    val sents = sentsV(s, dir).as[Sentence]
     graft.crf.Ensemble
       .ensembleTag(sents, Seq(base, perturb(0.9f), perturb(1.1f)))
       .flatMap(graft.spans.Spans.extract _).toDF()
@@ -353,9 +385,8 @@ object Queries7 {
     * equals dictionary matching too, so the same oracle pins it. */
   private def q61(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val corpus = Corpus.fromDocuments(s, dir).as[SourceFile]
-    val elig = eligibleDocs(s, dir).select("path")
-    Crf.classifyTag(Segmenter.sentences(corpus), Crf.emissionWeights)
+    val elig = eligV(s, dir).select("path")
+    Crf.classifyTag(sentsV(s, dir).as[Sentence], Crf.emissionWeights)
       .flatMap(graft.spans.Spans.extract _).toDF()
       .join(elig, "path")
       .select("repo", "path", "start", "end", "text", "tag")

@@ -203,9 +203,13 @@ object CrfTrainer {
 
   /** Labeled sentence with word-identity ids (−1 = out of vocab) —
     * the φ of SURVEY §7.3 (discrete features ∪ word identity) for the
-    * DISCRIMINATIVE trainer. */
+    * DISCRIMINATIVE trainer. `clusterIds` (optional, empty = none) are
+    * Brown-cluster rows in the SAME weight matrix — each token then
+    * fires two identity rows, word and cluster, both additive (the
+    * discriminative fit handles the correlation that the closed form
+    * must gate away). −1 = no cluster. */
   final case class WordSentence(masks: Array[Int], wordIds: Array[Int],
-      tags: Array[Int])
+      tags: Array[Int], clusterIds: Array[Int] = Array.empty)
 
   /** Forward–backward NLL + gradients for one sentence under
     * emission(t, tag) = featW·mask(t) + wordW(wordId(t))(tag),
@@ -217,12 +221,18 @@ object CrfTrainer {
       wv: Array[Array[Float]], tr: Array[Array[Float]],
       aw: Array[Double], at: Array[Double], av: Array[Double]): Double = {
     val T = s.masks.length
+    val hasClusters = s.clusterIds.length == T
     val em = Array.tabulate(T) { t =>
       val e = Crf.emit(s.masks(t), w)
       val wid = s.wordIds(t)
       if (wid >= 0) {
         var k = 0
         while (k < K) { e(k) += wv(wid)(k); k += 1 }
+      }
+      if (hasClusters && s.clusterIds(t) >= 0) {
+        val cid = s.clusterIds(t)
+        var k = 0
+        while (k < K) { e(k) += wv(cid)(k); k += 1 }
       }
       e
     }
@@ -267,6 +277,7 @@ object CrfTrainer {
     t = 0
     while (t < T) {
       val wid = s.wordIds(t)
+      val cid = if (hasClusters) s.clusterIds(t) else -1
       k = 0
       while (k < K) {
         val gamma = math.exp(alpha(t)(k) + beta(t)(k) - logZ)
@@ -279,6 +290,7 @@ object CrfTrainer {
             mm &= mm - 1
           }
           if (wid >= 0) av(wid * K + k) += diff
+          if (cid >= 0) av(cid * K + k) += diff
         }
         k += 1
       }

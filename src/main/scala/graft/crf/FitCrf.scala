@@ -51,7 +51,14 @@ object FitCrf {
       shapeW: Map[Int, Array[Float]],       // OOV backoff by shape class
       shapeDefault: Array[Float],           // unseen shape class
       trans: Array[Array[Float]],           // (K+2)² log bigram + walls
-      lambda: Float)                        // feature-term mixing weight
+      lambda: Float,                        // feature-term mixing weight
+      // Brown-cluster features (features.py:16-29 consumed them as a
+      // model input; here they are extra φ dims): word → dense cluster
+      // id, and cluster id → per-tag weights, ADDITIVE on top of the
+      // word/shape backoff chain whenever the word's cluster is known.
+      // Both empty = the pre-cluster model, byte-identical behavior.
+      clusters: Map[String, Int] = Map.empty,
+      clusterW: Map[Int, Array[Float]] = Map.empty)
 
   /** Shape class of a token = its word-only feature bits (0-14).
     * Context-free by construction, so it is constant per surface. */
@@ -257,6 +264,53 @@ object FitCrf {
       : FittedModel =
     weights(countLocal(data, minCount, rareMax), k, lambda)
 
+  /** Closed-form fit WITH Brown-cluster features: clusterW is the
+    * per-cluster per-tag log-odds over the RARE population (count ≤
+    * rareMax — the same OOV stand-in shapeW is fitted on), and the
+    * served cluster map is gated to words WITHOUT a wordW row, so the
+    * additive cluster term refines only the OOV/backoff regime (for
+    * in-vocab words the word-identity row already subsumes the
+    * cluster, and naive-Bayes-adding correlated evidence would
+    * double-count). One extra distributed aggregation over [[fit]]. */
+  def fitWithClusters(data: Dataset[TaggedTokens],
+      clusters: Map[String, Int], k: Double = 0.5, minCount: Long = 2,
+      rareMax: Long = 1, lambda: Float = 1f): FittedModel = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val c = countStats(data, minCount, rareMax)
+    val m = weights(c, k, lambda)
+    val bC = spark.sparkContext.broadcast(clusters)
+    // rare-population (cluster, tag) counts: per-word totals gate the
+    // rare rows, the broadcast map keys them by cluster
+    val toks = data.flatMap(s => s.words.zip(s.tags)).toDF("word", "tag")
+    val rareWords = toks.groupBy("word")
+      .agg(count(lit(1)).as("cw"))
+      .filter(col("cw") <= rareMax)
+      .select("word")
+    val clusterRows = toks.join(rareWords, "word")
+      .flatMap { r =>
+        bC.value.get(r.getString(0)).map(cid => (cid, r.getInt(1)))
+      }
+      .toDF("cid", "tag").groupBy("cid", "tag")
+      .agg(count(lit(1)).as("n")).collect()
+    val clusterTag = clusterRows.groupBy(_.getInt(0)).map {
+      case (cid, rows) =>
+        val arr = new Array[Long](K)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        cid -> arr
+    }
+    val rareN = c.rareTag.sum
+    val clusterW = clusterTag.map { case (cid, arr) =>
+      val cs = arr.sum
+      cid -> Array.tabulate(K)(t => logOdds(arr(t), c.rareTag(t),
+        cs - arr(t), math.max(rareN - c.rareTag(t), 0L), k))
+    }.toMap
+    val served = clusters.filter { case (w, _) =>
+      !m.wordW.contains(w) && !m.wordW.contains(w.toLowerCase)
+    }
+    m.copy(clusters = served, clusterW = clusterW)
+  }
+
   // ---- serving ---------------------------------------------------------
 
   /** Emission vector of one token under a fitted model: word-identity
@@ -267,10 +321,20 @@ object FitCrf {
     val base = m.wordW.getOrElse(word,
       m.wordW.getOrElse(word.toLowerCase,
         m.shapeW.getOrElse(shapeOf(mask), m.shapeDefault)))
+    // Brown-cluster term (same exact-then-lowercase policy as words);
+    // null when the model carries no clusters or the word none
+    val cw: Array[Float] =
+      if (m.clusters.isEmpty) null
+      else {
+        val cid = m.clusters.get(word)
+          .orElse(m.clusters.get(word.toLowerCase))
+        cid.flatMap(m.clusterW.get).orNull
+      }
     val out = new Array[Float](K)
     var t = 0
     while (t < K) {
       var s = base(t)
+      if (cw != null) s += cw(t)
       if (m.lambda != 0f) {
         var mm = mask
         while (mm != 0) {

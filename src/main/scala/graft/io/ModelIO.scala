@@ -48,6 +48,8 @@ object ModelIO {
       } ++
       m.wordW.map { case (w, a) => ("word", w, a.toSeq) } ++
       m.shapeW.map { case (s, a) => ("shape", s.toString, a.toSeq) } ++
+      m.clusters.map { case (w, c) => ("clusterOf", w, Seq(c.toFloat)) } ++
+      m.clusterW.map { case (c, a) => ("clusterW", c.toString, a.toSeq) } ++
       Seq(("shapeDefault", "", m.shapeDefault.toSeq),
         ("lambda", "", Seq(m.lambda)))
     rows.toDF("matrix", "key", "values")
@@ -67,6 +69,11 @@ object ModelIO {
       rows.filter(_._1 == "shape").map(r => r._2.toInt -> r._3).toMap,
       rows.find(_._1 == "shapeDefault").get._3,
       mat("trans"),
-      rows.find(_._1 == "lambda").get._3(0))
+      rows.find(_._1 == "lambda").get._3(0),
+      // absent in pre-cluster artifacts → empty maps (back-compat)
+      rows.filter(_._1 == "clusterOf")
+        .map(r => r._2 -> r._3(0).toInt).toMap,
+      rows.filter(_._1 == "clusterW")
+        .map(r => r._2.toInt -> r._3).toMap)
   }
 }
