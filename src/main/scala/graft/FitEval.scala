@@ -42,7 +42,8 @@ object FitEval {
     * (lr=1, l2=3e-5), 0.7528 @600 — vs the closed form's 0.7269. */
   def trainFullModel(spark: SparkSession, epochs: Int = 300,
       lr: Double = 1.0, l2: Double = 3e-5,
-      clusters: Map[String, Int] = Map.empty): FitCrf.FittedModel = {
+      clusters: Map[String, Int] = Map.empty,
+      clustersForAll: Boolean = false): FitCrf.FittedModel = {
     import spark.implicits._
     val train = labeled(spark, trainPath)
     val wordFreq = train.flatMap(_.words).groupBy("value").count()
@@ -68,11 +69,16 @@ object FitEval {
       }
       // Brown-cluster rows live after the word/shape/default block in
       // the same weight matrix (exact-then-lowercase lookup, matching
-      // FitCrf.emit's serving policy)
+      // FitCrf.emit's serving policy). Default is OOV-GATED: cluster
+      // features fire only for tokens WITHOUT a vocab row, so the
+      // cluster rows train on exactly the backoff population they
+      // serve (additive-everywhere measured 0.7414 vs 0.7483 baseline
+      // at 300 epochs — in-vocab updates drown the OOV signal).
       val cids =
         if (cmap.isEmpty) Array.empty[Int]
         else Array.tabulate(t.words.length) { i =>
-          cmap.get(t.words(i))
+          if (!clustersForAll && vmap.contains(t.words(i))) -1
+          else cmap.get(t.words(i))
             .orElse(cmap.get(t.words(i).toLowerCase))
             .map(V + S + 1 + _).getOrElse(-1)
         }
@@ -88,13 +94,17 @@ object FitEval {
     // unseen-shape tokens.
     val closedForm =
       FitCrf.weights(FitCrf.countStats(train, minCount = 2, rareMax = 1))
+    val vocabSet = vocab.toSet
+    val servedClusters =
+      if (clustersForAll) clusters
+      else clusters.filter { case (w2, _) => !vocabSet.contains(w2) }
     FitCrf.FittedModel(w,
       vocab.zipWithIndex.map { case (word, i) => word -> wv(i) }.toMap,
       rareShapes.zipWithIndex.map { case (sh, i) =>
         sh -> wv(V + i)
       }.toMap,
       closedForm.shapeDefault, tr, 1f,
-      clusters = clusters,
+      clusters = servedClusters,
       clusterW = (0 until C).map(j => j -> wv(V + S + 1 + j)).toMap)
   }
 

@@ -215,13 +215,14 @@ object Queries {
   // ---- the non-relational kernels (rows-only checks) ---------------
 
   /** Full mention detection: segment → featurize → Viterbi → spans over
-    * the documents-derived corpus (SURVEY §2.8, §3.1). Not
-    * SQL-expressible (sequential DP) → no oracle. */
-  private def q50(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Pipeline.mentions(Corpus.fromDocuments(s, dir).as[SourceFile])
-      .toDF().orderBy("repo", "path", "sentIdx", "start")
-  }
+    * the documents-derived corpus (SURVEY §2.8, §3.1). Oracled since
+    * round 3 (Queries7.o50): the overlap-resolution behavior of the
+    * fitted decoder is token-local on this corpus's realizable match
+    * configurations (OverlapDecodeSpec), which makes the FULL decode
+    * SQL-expressible — not just the non-overlapping q55 subset. */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Queries7.mentionsV(s, dir)
+      .orderBy("repo", "path", "sentIdx", "start")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_vocab_count" -> (q01 _),

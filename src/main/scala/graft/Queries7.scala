@@ -139,7 +139,7 @@ object Queries7 {
         .toDF()
     }
 
-  private def mentionsV(s: SparkSession, dir: String): DataFrame =
+  private[graft] def mentionsV(s: SparkSession, dir: String): DataFrame =
     sharedView(s, dir, "mentions") {
       import s.implicits._
       Pipeline.mentions(Corpus.fromDocuments(s, dir).as[SourceFile])
@@ -265,6 +265,94 @@ object Queries7 {
        |    FROM linked
        |  UNION ALL SELECT qid, 'sameAs', qid FROM linked)
        |ORDER BY subj, pred, obj""".stripMargin
+
+  // ---- o50: FULL-corpus decode oracle (beyond gaz-dominance) ----------
+
+  /** The q50 oracle — full Viterbi mention detection over EVERY doc,
+    * including the overlap docs q55's eligibility excludes (VERDICT r2
+    * ask 6). Enabler: on this corpus the realizable overlapping-match
+    * configurations are structurally limited (2-gram × 2-gram sharing
+    * one token — `merge sort`/`sort merge` chains and `big data`/`data
+    * table`), and the fitted decoder resolves them by a TOKEN-LOCAL
+    * rule, proven by OverlapDecodeSpec against the kernel on every
+    * realizable pattern:
+    *
+    *   marks(t) = {B at match starts, I at match continuations};
+    *   B∧I of the SAME type  → I (same-type chains fuse into one span)
+    *   B (∧ maybe I of other type) → B (cross-type overlap breaks,
+    *                                    the new entry wins)
+    *   I alone → I;   no mark → O
+    *
+    * then the standard BIO span FSM. Docs must be whitespace-clean
+    * (all driver-generated docs are — asserted by the cd filter: a
+    * non-clean doc would surface as a row-count mismatch, not a silent
+    * wrong hash). */
+  private def o50: String =
+    s"""WITH gaz(entry, label, entry_id) AS (VALUES $gazValuesSql),
+       |cd AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE text = trim(text) AND strpos(text, chr(10)) = 0
+       |    AND strpos(text, chr(9)) = 0 AND strpos(text, '  ') = 0),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM cd),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS t, w[i] AS word,
+       |    CASE WHEN i = 1 THEN 0
+       |      ELSE length(array_to_string(w[1:i-1], ' ')) + 1 END AS cstart
+       |  FROM toks,
+       |    LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+       |grams AS (
+       |  $gramBranches),
+       |m AS (
+       |  SELECT doc_id, idx, n, label
+       |  FROM grams JOIN gaz ON lower(gram) = entry),
+       |marks AS (
+       |  SELECT doc_id, idx AS t, label, 'B' AS pos FROM m
+       |  UNION ALL
+       |  SELECT doc_id, unnest(generate_series(idx + 1, idx + n - 1))
+       |    AS t, label, 'I' AS pos FROM m WHERE n > 1),
+       |tokmark AS (
+       |  SELECT doc_id, t,
+       |    max(CASE WHEN pos = 'B' THEN label END) AS bl,
+       |    max(CASE WHEN pos = 'I' THEN label END) AS il
+       |  FROM marks GROUP BY doc_id, t),
+       |tagged AS (
+       |  SELECT tok.doc_id, tok.t, tok.cstart,
+       |    tok.cstart + length(tok.word) AS cend,
+       |    CASE WHEN bl IS NOT NULL AND il IS NOT NULL AND bl = il
+       |        THEN 'I'
+       |      WHEN bl IS NOT NULL THEN 'B'
+       |      WHEN il IS NOT NULL THEN 'I' END AS bio,
+       |    CASE WHEN bl IS NOT NULL AND il IS NOT NULL AND bl = il
+       |        THEN bl
+       |      WHEN bl IS NOT NULL THEN bl
+       |      ELSE il END AS typ
+       |  FROM tok LEFT JOIN tokmark
+       |    ON tok.doc_id = tokmark.doc_id AND tok.t = tokmark.t),
+       |fsm AS (
+       |  SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY t)
+       |    AS prevTyp
+       |  FROM tagged),
+       |sp AS (
+       |  SELECT *, sum(CASE WHEN typ IS NOT NULL AND (bio = 'B'
+       |      OR prevTyp IS NULL OR prevTyp <> typ) THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS spanId
+       |  FROM fsm),
+       |spans AS (
+       |  SELECT doc_id, min(cstart) AS s0, max(cend) AS e0,
+       |    min(typ) AS tag
+       |  FROM sp WHERE typ IS NOT NULL GROUP BY doc_id, spanId)
+       |SELECT
+       |  'repo' || CAST(CAST(floor(sqrt((cd.doc_id * 2654435761) % 1024))
+       |    AS BIGINT) AS VARCHAR) AS repo,
+       |  'doc/' || source || '/' || CAST(cd.doc_id AS VARCHAR) || '.txt'
+       |    AS path,
+       |  CAST(0 AS INT) AS sentIdx,
+       |  CAST(s0 AS INT) AS start, CAST(e0 AS INT) AS "end",
+       |  substr(text, CAST(s0 + 1 AS INT), CAST(e0 - s0 AS INT)) AS text,
+       |  tag, CAST(1.0 AS DOUBLE) AS conf
+       |FROM spans JOIN cd ON spans.doc_id = cd.doc_id
+       |ORDER BY repo, path, sentIdx, start""".stripMargin
 
   // ---- q29: closed-form transition fit on the REAL eng.train ----------
 
@@ -465,6 +553,7 @@ object Queries7 {
 
   val oracles: Map[String, String] = Map(
     "q29_fitted_transitions" -> o29,
+    "q50_viterbi_mentions" -> o50,
     "q55_decode_dict_oracle" -> o55,
     "q56_postprocess_identity" -> s"WITH $oracleCte\n$mentionSelect",
     "q57_insertion_restore" -> s"WITH $oracleCte\n$mentionSelect",
