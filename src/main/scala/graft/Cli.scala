@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *       sink format)
   * eval  --model <modelDir> --test <conll>   per-type + micro P/R/F1
   * kg    --corpus <sfDir with documents.parquet> --out <dir>
-  *       full KG pipeline → (subj, pred, obj) parquet
+  *       [--authors <WL-xml dir>]   full KG pipeline → (subj, pred,
+  *       obj) parquet; --authors feeds the DF-genre author→PER
+  *       fix-up precedence (extract_authors.py input)
   * }}}
   *
   * All modes read/write CoNLL text or parquet; MISC maps to the GPE
@@ -147,10 +149,15 @@ object Cli {
       case "kg" =>
         val corpus = req(args, "--corpus")
         val out = req(args, "--out")
+        // optional WL-XML author dir → lookupFixup's DF-genre
+        // author→PER precedence (extract_authors.py input)
+        val authors = arg(args, "--authors")
+          .map(graft.pipeline.Pipeline.authorsFromXmlDir(spark, _))
+          .getOrElse(Set.empty[String])
         import spark.implicits._
         graft.pipeline.Pipeline.triples(
           graft.core.Corpus.fromDocuments(spark, corpus)
-            .as[graft.core.SourceFile])
+            .as[graft.core.SourceFile], authors)
           .write.mode("overwrite").partitionBy("pred").parquet(out)
         println(s"triples -> $out")
       case other => sys.error(s"unknown mode: $other")

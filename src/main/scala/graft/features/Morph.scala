@@ -154,6 +154,119 @@ object Morph {
     new LexiconAnalyzer(stems, ormSuffixes)
   }
 
+  // ---- Tigrinya (tir) analyzer, mined from in-tree tables -----------
+
+  /** Tigrinya affix analyzer — the offline-feasible mirror of the
+    * reference's tir parser-combinator morphology
+    * (utils/segnerfts/tir_morph.py:303-470). Every affix surface and
+    * gloss below is copied from those in-tree tables (public text);
+    * what CANNOT ship offline is epitran's Ge'ez→IPA step (g2p,
+    * tir_morph.py:650+), so this analyzer consumes IPA-form tokens —
+    * the same representation the reference's parser itself runs on —
+    * and g2p remains the documented plug, exactly like the media
+    * codecs.
+    *
+    * Parse enumeration mirrors `PARSER = (REL|CONJ) >>
+    * (TENSE|PREP|VDERIV) >> ROOT << NUMBER << CLITICS << NEG <<
+    * (CASE|ADJ|NOMINAL|CONJ_SUF)` (tir_morph.py:575-578) with
+    * BEST_PARSE=False union semantics: each affix slot optionally
+    * fires, all decompositions are returned, costs are irrelevant to
+    * the gloss-set union the feature algebra consumes. INSERT_I
+    * (tir_morph.py:329) is handled by accepting an epenthetic `ɨ`
+    * before any suffix. */
+  final class TirAnalyzer extends Analyzer {
+    import Morph.{tirPrefixes, tirSuffixes, tirNegPatterns}
+
+    private def stripSuffixes(w: String, glosses: List[String],
+        depth: Int,
+        out: scala.collection.mutable.Builder[String, Seq[String]])
+        : Unit = {
+      // gloss segment ORDER is irrelevant downstream (glossSet unions
+      // the [-.] split), so parses are emitted stem-first throughout
+      if (w.length >= 2) out += (w :: glosses).mkString("-")
+      if (depth > 0)
+        for {
+          (suf, gloss) <- tirSuffixes
+          surface <- Seq(suf, "ɨ" + suf) // epenthetic ɨ, INSERT_I
+          if w.length > surface.length + 1 && w.endsWith(surface)
+        } stripSuffixes(w.dropRight(surface.length), gloss :: glosses,
+          depth - 1, out)
+    }
+
+    override def parses(token: String): Seq[String] = {
+      val w = token.replace("”", "").replace("“", "").replace("`", "")
+      if (w.isEmpty) return Nil
+      val out = Seq.newBuilder[String]
+      // circumfix negation first (tir_morph.py:341-347)
+      val afterNeg: Seq[(String, List[String])] =
+        (w, Nil: List[String]) +: tirNegPatterns.flatMap { p =>
+          p.findFirstMatchIn(w).map(m => (m.group(1), List("NEG"))).toSeq
+        }
+      for ((w1, negG) <- afterNeg) {
+        // optional single prefix (REL/CONJ/TENSE/PREP/VDERIV slots)
+        val afterPre: Seq[(String, List[String])] =
+          (w1, negG) +: tirPrefixes.collect {
+            case (pre, gloss) if w1.length > pre.length + 1 &&
+                w1.startsWith(pre) =>
+              (w1.drop(pre.length), gloss :: negG)
+          }
+        for ((w2, g) <- afterPre) stripSuffixes(w2, g, 2, out)
+      }
+      out.result().distinct
+    }
+  }
+
+  /** Prefix table (surface → gloss), verbatim from tir_morph.py
+    * REL:332, CONJ_PREF:335-337, TENSE:348-351, PREP:419-428,
+    * VDERIV_PREF:439-443. */
+  val tirPrefixes: Seq[(String, String)] = Seq(
+    "zɨ" -> "REL",
+    "ki" -> "CONJ", "mɨ" -> "CONJ",
+    "kɨ" -> "FUT", "tə" -> "PERF", "jɨ" -> "PERF",
+    "bɨzəjɨ" -> "PREP", "bɨzaʕɨba" -> "PREP", "dɨħɨri" -> "PREP",
+    "qɨdɨmi" -> "PREP", "kabɨ" -> "PREP", "kəmɨ" -> "PREP",
+    "mɨsɨ" -> "PREP", "bɨ" -> "PREP", "nɨ" -> "PREP",
+    "ʔɨtɨ" -> "REL", "ʔɨnɨ" -> "1PL.REL", "ʔɨtə" -> "PASS",
+    "ʔɨ" -> "PRES")
+
+  /** Suffix table (surface → gloss), verbatim from tir_morph.py
+    * NUMBER:353-365, POSS:367-383, PRONCLITIC_OBLIQ:385-398,
+    * PRONCLITIC_OBJ:400-417, CASE_SUF:446, CONJ_SUF:449-451,
+    * ADJECTIVAL:453-457, NOMINAL:464-468. Longest-first so e.g.
+    * `wɨjan` wins before `n`. */
+  val tirSuffixes: Seq[(String, String)] = Seq(
+    "tat" -> "PL", "at" -> "PL", "ot" -> "PL", "wɨti" -> "PL",
+    "ɨti" -> "PL",
+    "əj" -> "1SG.POSS", "j" -> "1SG.POSS",
+    "ka" -> "2SG.MASC.POSS", "ki" -> "2SG.FEM.POSS",
+    "ʔu" -> "3SG.MASC.POSS", "u" -> "3SG.MASC.POSS",
+    "ʔa" -> "3SG.FEM.POSS", "a" -> "3SG.FEM.POSS",
+    "na" -> "1PL.POSS", "kum" -> "2PL.MASC.POSS",
+    "kən" -> "2PL.FEM.POSS",
+    "ʔom" -> "3PL.MASC.POSS", "om" -> "3PL.MASC.POSS",
+    "ʔen" -> "3PL.FEM.POSS", "ən" -> "3PL.FEM.POSS",
+    "ləj" -> "1SG.OBL", "lɨka" -> "2SG.MASC.OBL",
+    "lɨki" -> "2SG.FEM.OBL", "lu" -> "3SG.MASC.OBL",
+    "la" -> "3SG.FEM.OBL", "lɨna" -> "1PL.OBL",
+    "lɨkum" -> "2PL.MASC.OBL", "lɨn" -> "2PL.FEM.OBL",
+    "lom" -> "3PL.MASC.OBL", "lən" -> "3PL.FEM.OBL",
+    "ni" -> "1SG.OBJ", "jo" -> "3SG.MASC.OBJ", "wo" -> "3SG.MASC.OBJ",
+    "ja" -> "3SG.FEM.OBJ", "wa" -> "3SG.FEM.OBJ",
+    "jom" -> "3PL.MASC.OBJ", "jən" -> "3PL.FEM.OBJ",
+    "kɨn" -> "2PL.FEM.OBJ",
+    "wɨn" -> "CONJ", "n" -> "ACC",
+    "awi" -> "ADJ", "jawi" -> "ADJ", "wi" -> "ADJ",
+    "wɨjan" -> "NOM.MASC", "wijan" -> "NOM", "wit" -> "NOM.FEM")
+    .sortBy { case (s, _) => -s.length }
+
+  /** Circumfix negation patterns, tir_morph.py:341-347. */
+  val tirNegPatterns: Seq[scala.util.matching.Regex] = Seq(
+    "^ʔajɨtɨ(.+)ɨn$".r, "^ʔajɨ(.+)ɨn$".r, "^ʔajɨ(.+)n$".r,
+    "^ʔaj(.+)ɨn$".r, "^ʔaj(.+)n$".r)
+
+  /** The tir analyzer instance (stateless). */
+  lazy val tirAnalyzer: TirAnalyzer = new TirAnalyzer
+
   /** The 18 gloss sets, verbatim from segnerfts.py:706-728, in slot
     * order. Names are ours; sets are the reference's. */
   val featureNames: IndexedSeq[String] = IndexedSeq(

@@ -52,11 +52,34 @@ object Pipeline {
     }
   }
 
-  def postProcessed(files: Dataset[SourceFile]): Dataset[Mention] =
-    PostProcess(Segmenter.sentences(files), mentions(files))
+  def postProcessed(files: Dataset[SourceFile],
+      authors: Set[String] = Set.empty): Dataset[Mention] =
+    PostProcess(Segmenter.sentences(files), mentions(files),
+      authors = authors)
 
-  def triples(files: Dataset[SourceFile]): DataFrame =
-    Triples.materialize(Linker.link(postProcessed(files)))
+  def triples(files: Dataset[SourceFile],
+      authors: Set[String] = Set.empty): DataFrame =
+    Triples.materialize(Linker.link(postProcessed(files, authors)))
+
+  /** Author set for [[PostProcess.lookupFixup]]'s DF-genre precedence
+    * branch, from a directory of WL XML files (the reference's
+    * extract_authors.py input). Whole-file read keeps exact per-file
+    * line numbers for the scan's open/close running sums. The set is
+    * collected and broadcast, mirroring the reference's in-memory
+    * author dict — per-package sized (one LDC package's WL files); a
+    * corpus whose author list itself outgrows a broadcast would switch
+    * lookupFixup to a join on an authors table instead. */
+  def authorsFromXmlDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Set[String] = {
+    val lines = spark.read.option("wholetext", "true").text(dir)
+      .select(
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("fname"),
+        posexplode(split(col("value"), "\n")))
+      .select(col("fname"), col("pos").cast("long").as("lineno"),
+        col("col").as("line"))
+    graft.conll.Scans.authorXmlScan(lines)
+      .collect().map(_.getString(0)).toSet
+  }
 
   /** Checkpointed variant: every stage lands in `root/<stage>` with a
     * `_lineage.json` sidecar; a re-run with the same snapshot id

@@ -78,6 +78,35 @@ class MorphSpec extends AnyFunSuite {
     assert(Morph.ormSuffixes.contains("ota" -> "PL"))
   }
 
+  test("tir analyzer: goldens from tir_morph.py's own in-table " +
+      "examples (IPA form; Ge'ez→IPA g2p stays the documented plug)") {
+    val a = Morph.tirAnalyzer
+    // ʕarat-at 'beds' (tir_morph.py:354) and ɡəza-wɨti 'houses' (:361)
+    assert(Morph.glossSet(a.parses("ʕaratat")).contains("PL"))
+    assert(Morph.glossSet(a.parses("ɡəzawɨti")).contains("PL"))
+    // ʔerɨtɨra-wɨjan 'Eritrean nationals' (:465): NOM.MASC nominal
+    val nom = Morph.glossSet(a.parses("ʔerɨtɨrawɨjan"))
+    assert(nom.contains("NOM") && nom.contains("MASC"), s"got $nom")
+    assert(Morph.features("ʔerɨtɨrawɨjan", a)(
+      Morph.featureNames.indexOf("m_nom")))
+    // circumfix negation ʔaj...ɨn (:341)
+    val neg = Morph.glossSet(a.parses("ʔajkədəmɨn"))
+    assert(neg.contains("NEG"), s"got $neg")
+    assert(Morph.features("ʔajkədəmɨn", a)(
+      Morph.featureNames.indexOf("m_pol")))
+    // PREP prefix bɨ- (:419) and possessive -na (:375)
+    assert(Morph.glossSet(a.parses("bɨɡəza")).contains("PREP"))
+    val poss = Morph.glossSet(a.parses("ɡəzana"))
+    assert(poss.contains("POSS") && poss.contains("1PL"), s"got $poss")
+    assert(Morph.features("ɡəzana", a)(
+      Morph.featureNames.indexOf("m_poss")))
+    // future kɨ- (:348) feeds no m_tense set member — but the parse
+    // carries FUT faithfully
+    assert(Morph.glossSet(a.parses("kɨkədəm")).contains("FUT"))
+    // every parse keeps a non-empty stem; unparseable 1-char → trivial
+    assert(a.parses("ʔ").isEmpty || a.parses("ʔ").forall(_.nonEmpty))
+  }
+
   test("bits mask matches boolean vector") {
     val a = Morph.forLang("orm")
     val f = Morph.features("namoota", a)

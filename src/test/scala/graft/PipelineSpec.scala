@@ -75,4 +75,30 @@ class PipelineSpec extends SparkTestBase {
     assert(Dict.tags.last == "O")
     assert(Dict.K == 9)
   }
+
+  test("authorsFromXmlDir: WL files on disk → author set → PER " +
+      "precedence reachable through Pipeline (VERDICT r2 polish)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-authors")
+    try {
+      java.nio.file.Files.write(dir.resolve("SN_WL_0001.xml"),
+        ("<doc id=\"SN_WL_0001\">\n" +
+          "<post type=\"post\" id=\"p1\">\n" +
+          "<attribute name=\"author\" value=\"alice w\"/>\n" +
+          "</post>\n</doc>\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("SN_NW_0002.xml"),
+        ("<doc id=\"SN_NW_0002\">\n" +
+          "<post type=\"post\" id=\"p1\">\n" +
+          "<attribute name=\"author\" value=\"carol\"/>\n" +
+          "</post>\n</doc>\n").getBytes("UTF-8"))
+      val got = graft.pipeline.Pipeline.authorsFromXmlDir(
+        spark, dir.toString)
+      // WL author in; NW genre-excluded (extract_authors.py WL filter)
+      assert(got == Set("alice w"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
 }

@@ -109,6 +109,38 @@ class PostProcessSpec extends SparkTestBase {
       "post-process must not leave Dataset.cache entries behind")
   }
 
+  test("post-process leaves no pinned RDD blocks once its result is " +
+      "unreferenced (localCheckpoint blocks are GC-scoped, not " +
+      "session-leaked)") {
+    val s = spark
+    import s.implicits._
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    locally {
+      val toks = "saw Ada Lovelace yesterday".split(' ')
+      var pos = 0
+      val starts = toks.map { t => val p = pos; pos += t.length + 1; p }
+      val ends = toks.zip(starts).map { case (t, st) => st + t.length }
+      val sents = Seq(Sentence("r", "p2", 0, toks, starts, ends)).toDS()
+      val ms =
+        Seq(m("p2", 0, starts(1), ends(2), "Ada Lovelace", "PER")).toDS()
+      PostProcess(sents, ms).collect()
+    }
+    // the chain's lazy localCheckpoint blocks are released by the
+    // ContextCleaner once the result plan is unreachable — poll with
+    // GC nudges; ids from sibling suites (before-set or created
+    // during the window) are not ours to assert on, so only ids that
+    // appeared here must drain
+    val deadline = System.nanoTime() + 20_000_000_000L
+    def leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    var ours = leaked
+    while (ours.nonEmpty && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+      ours = ours.intersect(leaked)
+    }
+    assert(ours.isEmpty,
+      s"post-process left pinned RDDs: $ours")
+  }
+
   test("insertion prefers earlier/longer candidate under overlap " +
       "(canonical (sentIdx,start,end,text) order)") {
     val s = spark
