@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *       [--rare-max 2] [--lambda 0]          closed-form fit (seconds)
   * train --out <modelDir> [--epochs 300] [--lr 1.0] [--l2 3e-5]
   *       discriminative trainWords over the in-tree eng data
-  * tag   --model <modelDir> --in <conll> --out <dir>
+  * tag   [--model <modelDir>] --in <conll> --out <dir>
   *       decode + write `word NNP NP tag` prediction lines (main.py
-  *       sink format)
-  * eval  --model <modelDir> --test <conll>   per-type + micro P/R/F1
+  *       sink format); --model defaults to the shipped
+  *       models/eng.fitted artifact
+  * eval  [--model <modelDir>] --test <conll>  per-type + micro P/R/F1
   * kg    --corpus <sfDir with documents.parquet> --out <dir>
   *       [--authors <WL-xml dir>]   full KG pipeline → (subj, pred,
   *       obj) parquet; --authors feeds the DF-genre author→PER
@@ -137,13 +138,17 @@ object Cli {
         ModelIO.saveFitted(spark, model, out)
         println(s"trained model (vocab ${model.wordW.size}) -> $out")
       case "tag" =>
-        val model = ModelIO.loadFitted(spark, req(args, "--model"))
+        // default = the shipped in-repo artifact (ShipModel), so the
+        // best trained model serves without --model or retraining
+        val model = ModelIO.loadFitted(spark,
+          arg(args, "--model").getOrElse(ShipModel.defaultPath))
         val out = req(args, "--out")
         writePredictions(tagFile(spark, model, req(args, "--in")),
           out)
         println(s"predictions -> $out")
       case "eval" =>
-        val model = ModelIO.loadFitted(spark, req(args, "--model"))
+        val model = ModelIO.loadFitted(spark,
+          arg(args, "--model").getOrElse(ShipModel.defaultPath))
         evalModel(spark, model, req(args, "--test"))
           .orderBy("tag").show(20, truncate = false)
       case "kg" =>

@@ -286,9 +286,9 @@ object Queries7 {
     * then the standard BIO span FSM. Docs must be whitespace-clean
     * (all driver-generated docs are — asserted by the cd filter: a
     * non-clean doc would surface as a row-count mismatch, not a silent
-    * wrong hash). */
-  private def o50: String =
-    s"""WITH gaz(entry, label, entry_id) AS (VALUES $gazValuesSql),
+    * wrong hash). Ends in CTE `fullmen` so o51/o52 build on it. */
+  private def fullDecodeCte: String =
+    s"""gaz(entry, label, entry_id) AS (VALUES $gazValuesSql),
        |cd AS (
        |  SELECT doc_id, source, text FROM documents
        |  WHERE text = trim(text) AND strpos(text, chr(10)) = 0
@@ -341,18 +341,101 @@ object Queries7 {
        |spans AS (
        |  SELECT doc_id, min(cstart) AS s0, max(cend) AS e0,
        |    min(typ) AS tag
-       |  FROM sp WHERE typ IS NOT NULL GROUP BY doc_id, spanId)
-       |SELECT
-       |  'repo' || CAST(CAST(floor(sqrt((cd.doc_id * 2654435761) % 1024))
-       |    AS BIGINT) AS VARCHAR) AS repo,
-       |  'doc/' || source || '/' || CAST(cd.doc_id AS VARCHAR) || '.txt'
-       |    AS path,
-       |  CAST(0 AS INT) AS sentIdx,
-       |  CAST(s0 AS INT) AS start, CAST(e0 AS INT) AS "end",
-       |  substr(text, CAST(s0 + 1 AS INT), CAST(e0 - s0 AS INT)) AS text,
-       |  tag, CAST(1.0 AS DOUBLE) AS conf
-       |FROM spans JOIN cd ON spans.doc_id = cd.doc_id
+       |  FROM sp WHERE typ IS NOT NULL GROUP BY doc_id, spanId),
+       |fullmen AS (
+       |  SELECT
+       |    'repo' || CAST(CAST(floor(sqrt((cd.doc_id * 2654435761) % 1024))
+       |      AS BIGINT) AS VARCHAR) AS repo,
+       |    'doc/' || source || '/' || CAST(cd.doc_id AS VARCHAR) || '.txt'
+       |      AS path,
+       |    CAST(0 AS INT) AS sentIdx,
+       |    CAST(s0 AS INT) AS start, CAST(e0 AS INT) AS "end",
+       |    substr(text, CAST(s0 + 1 AS INT), CAST(e0 - s0 AS INT))
+       |      AS text,
+       |    tag, CAST(1.0 AS DOUBLE) AS conf
+       |  FROM spans JOIN cd ON spans.doc_id = cd.doc_id)""".stripMargin
+
+  private def o50: String =
+    s"""WITH $fullDecodeCte
+       |SELECT * FROM fullmen
        |ORDER BY repo, path, sentIdx, start""".stripMargin
+
+  /** The q51 oracle: on this corpus the FULL post-process chain is the
+    * identity on the full decode output — every mention text maps to a
+    * globally unique tag (so both vote stages relabel to the tag
+    * already present; lookupFixup's table tag equals the decode tag),
+    * and every insertion candidate overlaps either its own predicted
+    * span or the chain/truncated spans covering its tokens (the same
+    * argument o56 makes per-doc, now corpus-wide because chains fuse
+    * ALL matched tokens of an overlap group into one span). The gate
+    * hash-checks this claim against the real PostProcess every run. */
+  private def o51: String = o50
+
+  /** The q52 oracle: full-corpus link + canonicalize + triples.
+    *
+    * The linker (Linker.link) is mirrored GENERICALLY: candidates =
+    * same-label entries sharing the mention's first lowercase token;
+    * score = max(Jaccard on token SETS, Jaro-Winkler on the joined
+    * strings — DuckDB's jaro_winkler_similarity is bit-identical to
+    * Linker.jaroWinkler, same p=0.1/prefix≤4 definition); argmax with
+    * (score desc, entry_id asc); linked iff score ≥ 0.85. Chain
+    * mentions (`merge sort merge`) link at Jaccard 1.0 (duplicate
+    * tokens collapse in the set), the truncated `big` links to
+    * `big data` at JW 0.8542 — the gate pins those resolutions.
+    *
+    * Canonicalization: the link graph is bipartite stars (one edge
+    * per mention node), so a component's canonical subject —
+    * lexicographic min over its node strings — is 'e:<qid>' when
+    * linked ('e:' < 'm:') and the mention node itself when NIL,
+    * exactly Triples.materialize's min(node) over stringComponents. */
+  private def o52: String =
+    s"""WITH $fullDecodeCte,
+       |men AS (
+       |  SELECT DISTINCT tag, lower(text) AS ltext,
+       |    repo || '/' || path AS doc
+       |  FROM fullmen),
+       |ment AS (SELECT DISTINCT tag, ltext FROM men),
+       |cand AS (
+       |  SELECT ment.tag, ment.ltext, g.entry_id, g.entry,
+       |    list_distinct(string_split(ment.ltext, ' ')) AS mtoks,
+       |    list_distinct(string_split(g.entry, ' ')) AS etoks
+       |  FROM ment JOIN gaz g ON g.label = ment.tag
+       |    AND string_split(g.entry, ' ')[1] =
+       |        string_split(ment.ltext, ' ')[1]),
+       |scored AS (
+       |  SELECT tag, ltext, entry_id,
+       |    greatest(
+       |      CAST(len(list_intersect(mtoks, etoks)) AS DOUBLE) /
+       |        len(list_distinct(mtoks || etoks)),
+       |      jaro_winkler_similarity(ltext, entry)) AS score
+       |  FROM cand),
+       |best AS (
+       |  SELECT tag, ltext, entry_id, score,
+       |    row_number() OVER (PARTITION BY tag, ltext
+       |      ORDER BY score DESC, entry_id ASC) AS rk
+       |  FROM scored),
+       |subj AS (
+       |  SELECT m.tag, m.ltext,
+       |    CASE WHEN b.score >= 0.85
+       |      THEN 'Q' || lpad(CAST(b.entry_id + 1 AS VARCHAR), 5, '0')
+       |      END AS qid,
+       |    CASE WHEN b.score >= 0.85
+       |      THEN 'e:' || 'Q' ||
+       |        lpad(CAST(b.entry_id + 1 AS VARCHAR), 5, '0')
+       |      ELSE 'm:' || m.tag || ':' || m.ltext END AS subj
+       |  FROM ment m LEFT JOIN best b
+       |    ON b.tag = m.tag AND b.ltext = m.ltext AND b.rk = 1)
+       |SELECT subj, pred, obj FROM (
+       |  SELECT DISTINCT subj, 'hasType' AS pred, tag AS obj FROM subj
+       |  UNION ALL
+       |  SELECT DISTINCT subj, 'label', ltext FROM subj
+       |  UNION ALL
+       |  SELECT DISTINCT subj, 'sameAs', qid FROM subj
+       |  WHERE qid IS NOT NULL
+       |  UNION ALL
+       |  SELECT DISTINCT s.subj, 'mentionedIn', men.doc
+       |  FROM men JOIN subj s ON s.tag = men.tag AND s.ltext = men.ltext)
+       |ORDER BY subj, pred, obj""".stripMargin
 
   // ---- q29: closed-form transition fit on the REAL eng.train ----------
 
@@ -554,6 +637,8 @@ object Queries7 {
   val oracles: Map[String, String] = Map(
     "q29_fitted_transitions" -> o29,
     "q50_viterbi_mentions" -> o50,
+    "q51_postprocess_mentions" -> o51,
+    "q52_kg_triples" -> o52,
     "q55_decode_dict_oracle" -> o55,
     "q56_postprocess_identity" -> s"WITH $oracleCte\n$mentionSelect",
     "q57_insertion_restore" -> s"WITH $oracleCte\n$mentionSelect",

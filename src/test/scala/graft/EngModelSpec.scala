@@ -112,6 +112,34 @@ class EngModelSpec extends SparkTestBase {
     assert(f1 >= 0.70, f"train-full F1 $f1%.4f < 0.70")
   }
 
+  test("SHIPPED model artifact (models/eng.fitted) loads and clears " +
+      "span F1 >= 0.75 on eng.test — the artifact is the gated " +
+      "product, no retraining (VERDICT r2 ask 3)") {
+    assume(available)
+    assume(new java.io.File(graft.ShipModel.defaultPath).exists(),
+      "artifact not shipped in this checkout")
+    val s = spark
+    import s.implicits._
+    val model = graft.io.ModelIO.loadFitted(spark,
+      graft.ShipModel.defaultPath)
+    // the artifact carries the Brown-cluster block (ShipModel C=256)
+    assert(model.clusterW.nonEmpty && model.clusters.nonEmpty,
+      "artifact must include the Brown-cluster feature block")
+    val testSents = graft.conll.ConllOps
+      .conllFileSentences(spark, FitEval.testPath)
+      .map(x => (x.sentId, x.words, x.tags.map(FitEval.tagIdOf)))
+    val gold = FitEval.spansOf(testSents.map { case (id, words, tags) =>
+      graft.core.TaggedSentence("eng", "test", id.toInt, words,
+        Array.tabulate(words.length)(i => i),
+        Array.tabulate(words.length)(i => i + 1),
+        tags.map(Dict.tags))
+    })
+    val (p, r, f1) =
+      FitEval.microF1(model, FitEval.toSentences(testSents), gold)
+    info(f"artifact eng.test micro P=$p%.4f R=$r%.4f F1=$f1%.4f")
+    assert(f1 >= 0.75, f"artifact span F1 $f1%.4f < 0.75")
+  }
+
   test("word-feature gradient matches finite differences") {
     import graft.crf.{Crf, CrfTrainer}
     val s = CrfTrainer.WordSentence(
