@@ -4,14 +4,14 @@ import graft.io.ModelIO
 import org.apache.spark.sql.SparkSession
 
 /** Regenerate the SHIPPED English model artifact (VERDICT r2 ask 3):
-  * the 600-epoch discriminative `trainWords` fit with OOV-gated
+  * the 300-epoch discriminative `trainWords` fit with OOV-gated
   * Brown-cluster features, saved via [[ModelIO.saveFitted]] to
   * `models/eng.fitted` (or argv(0)) and committed in-repo, so
   * `Cli tag/eval` serve the best model without retraining and
   * EngModelSpec gates the ARTIFACT's F1, not a fresh train.
   *
   * Run: sbt "runMain graft.ShipModel [outDir] [epochs] [numClusters]"
-  * (~10 min at 600 epochs on local[16]); prints the eng.test micro
+  * (~4 min at 300 epochs on local[16]); prints the eng.test micro
   * P/R/F1 to paste into the artifact gate when re-shipping.
   */
 object ShipModel {
@@ -20,7 +20,7 @@ object ShipModel {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse(defaultPath)
-    val epochs = args.lift(1).map(_.toInt).getOrElse(600)
+    val epochs = args.lift(1).map(_.toInt).getOrElse(300)
     val numC = args.lift(2).map(_.toInt).getOrElse(256)
     val spark = SparkSession.builder()
       .master("local[16]")
