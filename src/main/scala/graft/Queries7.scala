@@ -371,6 +371,17 @@ object Queries7 {
     * hash-checks this claim against the real PostProcess every run. */
   private def o51: String = o50
 
+  /** The q44 oracle: full-corpus ENSEMBLE decode. The ensemble
+    * averages the base model with its 0.9× and 1.1× scalings
+    * (decoders.py:202-238 semantics through the real Ensemble path),
+    * and (0.9+1.0+1.1)/3 = 1 — the averaged weights equal the base up
+    * to one float rounding, orders of magnitude below every decode
+    * margin (DefaultModelSpec pins margins > 4). So the full-corpus
+    * ensemble decode equals the full-corpus base decode, and o50 pins
+    * it — including the overlap-chain regime. The gate hash-checks
+    * the claim corpus-wide every round. */
+  private def o44: String = o50
+
   /** The q52 oracle: full-corpus link + canonicalize + triples.
     *
     * The linker (Linker.link) is mirrored GENERICALLY: candidates =
@@ -636,6 +647,7 @@ object Queries7 {
 
   val oracles: Map[String, String] = Map(
     "q29_fitted_transitions" -> o29,
+    "q44_ensemble_viterbi" -> o44,
     "q50_viterbi_mentions" -> o50,
     "q51_postprocess_mentions" -> o51,
     "q52_kg_triples" -> o52,
