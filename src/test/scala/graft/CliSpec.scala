@@ -40,4 +40,27 @@ class CliSpec extends SparkTestBase {
     info(f"self-fit self-eval F1=$f1%.4f")
     assert(f1 >= 0.85, f"self-eval F1 $f1%.4f unexpectedly low")
   }
+
+  test("the shipped artifact serves through the CLI default path " +
+      "(tag without --model)") {
+    assume(available)
+    assume(new java.io.File(ShipModel.defaultPath).exists())
+    val loaded = ModelIO.loadFitted(spark, ShipModel.defaultPath)
+    assert(loaded.clusterW.nonEmpty) // the Brown block rode along
+    val tagged = Cli.tagFile(spark, loaded, testPath)
+    assert(tagged.filter("tag <> 'O'").count() > 3000)
+  }
+
+  test("missing required flag is a usage error, not a bare " +
+      "NoSuchElementException; a flag token is never taken as a value") {
+    val e = intercept[RuntimeException] {
+      Cli.main(Array("kg", "--corpus")) // --corpus has no value
+    }
+    assert(e.getMessage.contains("missing required flag --corpus"))
+    val e2 = intercept[RuntimeException] {
+      // --out followed by another flag: NOT a value
+      Cli.main(Array("kg", "--corpus", "/tmp/x", "--out", "--foo"))
+    }
+    assert(e2.getMessage.contains("missing required flag --out"))
+  }
 }

@@ -109,36 +109,55 @@ class PostProcessSpec extends SparkTestBase {
       "post-process must not leave Dataset.cache entries behind")
   }
 
+  /** Runs the full chain, returns the checkpoint RDD ids found in the
+    * result's own plan (precise attribution under parallel suites),
+    * and lets every reference die with this frame. */
+  private def runChainAndCollectIds(
+      s: org.apache.spark.sql.SparkSession): Set[Int] = {
+    import s.implicits._
+    val toks = "saw Ada Lovelace yesterday".split(' ')
+    var pos = 0
+    val starts = toks.map { t => val p = pos; pos += t.length + 1; p }
+    val ends = toks.zip(starts).map { case (t, st) => st + t.length }
+    val sents = Seq(Sentence("r", "p2", 0, toks, starts, ends)).toDS()
+    val ms = Seq(
+      m("p2", 0, starts(1), ends(2), "Ada Lovelace", "PER")).toDS()
+    val result = PostProcess(sents, ms)
+    val ids = result.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    result.collect() // materializes the checkpoint blocks
+    ids
+  }
+
   test("post-process leaves no pinned RDD blocks once its result is " +
       "unreferenced (localCheckpoint blocks are GC-scoped, not " +
       "session-leaked)") {
     val s = spark
     import s.implicits._
-    val before = s.sparkContext.getPersistentRDDs.keySet
-    locally {
-      val toks = "saw Ada Lovelace yesterday".split(' ')
-      var pos = 0
-      val starts = toks.map { t => val p = pos; pos += t.length + 1; p }
-      val ends = toks.zip(starts).map { case (t, st) => st + t.length }
-      val sents = Seq(Sentence("r", "p2", 0, toks, starts, ends)).toDS()
-      val ms =
-        Seq(m("p2", 0, starts(1), ends(2), "Ada Lovelace", "PER")).toDS()
-      PostProcess(sents, ms).collect()
-    }
-    // the chain's lazy localCheckpoint blocks are released by the
-    // ContextCleaner once the result plan is unreachable — poll with
-    // GC nudges; ids from sibling suites (before-set or created
-    // during the window) are not ours to assert on, so only ids that
-    // appeared here must drain
-    val deadline = System.nanoTime() + 20_000_000_000L
-    def leaked = s.sparkContext.getPersistentRDDs.keySet -- before
-    var ours = leaked
-    while (ours.nonEmpty && System.nanoTime() < deadline) {
+    // Precise attribution (suites run in parallel, and siblings
+    // legitimately hold caches for minutes — the global persistent-RDD
+    // registry cannot be asserted empty): the chain's lazy
+    // localCheckpoint surfaces as a LogicalRDD inside OUR result's
+    // analyzed plan, so those ids — and only those — must drain from
+    // the registry once the result is unreachable.
+    // in a METHOD, not a block: a block-scoped local can stay
+    // reachable in the executing frame's stack slots until the frame
+    // exits, which would defeat the GC-based release check below
+    val ourIds = runChainAndCollectIds(s)
+    assert(ourIds.nonEmpty,
+      "expected the chain's localCheckpoint in the result plan")
+    // result is now unreachable — the ContextCleaner must release the
+    // blocks; poll with GC nudges
+    val deadline = System.nanoTime() + 30_000_000_000L
+    def live = s.sparkContext.getPersistentRDDs.keySet
+    var pinned = ourIds.intersect(live)
+    while (pinned.nonEmpty && System.nanoTime() < deadline) {
       System.gc(); Thread.sleep(200)
-      ours = ours.intersect(leaked)
+      pinned = pinned.intersect(live)
     }
-    assert(ours.isEmpty,
-      s"post-process left pinned RDDs: $ours")
+    assert(pinned.isEmpty,
+      s"post-process left pinned RDDs: $pinned")
   }
 
   test("insertion prefers earlier/longer candidate under overlap " +
