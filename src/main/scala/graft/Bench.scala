@@ -67,6 +67,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
+    // the per-query loop materialized session-lifetime shared views
+    // (localCheckpoint blocks, new in round 3) — drop and unpersist
+    // them so the headline pipeline run measures the engine with a
+    // clean block store, not the gate's litter
+    spark.catalog.listTables().collect().filter(_.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
     val (pipeSec, triples) = runPipeline(spark, sfDir)
     val tps = if (pipeSec > 0) triples / pipeSec else 0.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
