@@ -85,14 +85,23 @@ object PostProcess {
       : Dataset[Mention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val key = lower(col("text"))
-    val wTag = Window.partitionBy(col("repo"), col("path"), key,
-      col("tag"))
-    val wKey = Window.partitionBy(col("repo"), col("path"), key)
+    // ONE exchange for the whole stage: the per-(doc, key, tag) count
+    // is a peers-frame count (RANGE CURRENT ROW..CURRENT ROW over
+    // ORDER BY tag groups equal tags) on the SAME (doc, key)
+    // partitioning the winner windows need — partitioning by
+    // (doc, key, tag) for the count would force a second exchange.
+    // The key is materialized ONCE ("vkey"): inline lower(text) would
+    // be re-derived as a fresh _w attribute per window layer, and the
+    // partitionings would no longer line up.
+    val wKey =
+      Window.partitionBy(col("repo"), col("path"), col("vkey"))
+    val wPeers = wKey.orderBy(col("tag"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
     val wBest = wKey.orderBy(desc("n"), asc("tag"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     mentions.toDF()
-      .withColumn("n", count(lit(1)).over(wTag))
+      .withColumn("vkey", lower(col("text")))
+      .withColumn("n", count(lit(1)).over(wPeers))
       .withColumn("bestTag", first(col("tag")).over(wBest))
       .withColumn("bestN", max(col("n")).over(wKey))
       .select(col("repo"), col("path"), col("sentIdx"), col("start"),

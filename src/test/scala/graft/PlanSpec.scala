@@ -44,6 +44,21 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(600))
   }
 
+  test("within-doc vote is ONE exchange (peers-frame count shares the " +
+      "(doc,key) partitioning with the winner windows)") {
+    val s = spark
+    import s.implicits._
+    val ms = Seq(
+      graft.core.Mention("r", "p", 0, 0, 4, "Acme", "ORG", 1.0),
+      graft.core.Mention("r", "p", 0, 9, 13, "Acme", "PER", 1.0),
+      graft.core.Mention("r", "p", 1, 2, 6, "Acme", "ORG", 1.0))
+      .toDS().repartition(4) // barrier: keep the windows in the plan
+    val plan = graft.postprocess.PostProcess.withinDocVote(ms)
+      .queryExecution.executedPlan.toString
+    // the repartition above + exactly ONE window exchange
+    assert("Exchange".r.findAllIn(plan).size == 2, plan.take(800))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     assume(available)
     // plain Cast, not transform(): higher-order-function lambdas are
