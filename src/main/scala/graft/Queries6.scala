@@ -136,17 +136,53 @@ object Queries6 {
        |SELECT word, $cols FROM g ORDER BY word""".stripMargin
   }
 
+  /** The Brown-cluster trainer's DISTRIBUTED stage (features.Brown
+    * corpus statistics): vocab pruned at minCount=2 before collect,
+    * within-doc bigram counts restricted to the kept vocab — exactly
+    * what the driver-side exchange optimizer consumes. Ids resolve
+    * back to words so the output is ordering-insensitive. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val sents = s.read.parquet(s"$dir/documents.parquet")
+      .select("text").as[String].map(_.split(" "))
+    val (uni, big) = graft.features.Brown.corpusCounts(
+      sents, minCount = 2)
+    val words = uni.map(_._1)
+    big.toSeq.map { case (a, b, n) => (words(a), words(b), n) }
+      .toDF("w1", "w2", "n").orderBy("w1", "w2")
+  }
+
+  private def o62: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |freq AS (
+       |  SELECT word, count(*) AS n FROM (
+       |    SELECT unnest(w) AS word FROM toks)
+       |  GROUP BY 1 HAVING count(*) >= 2),
+       |big AS (
+       |  SELECT w[i] AS w1, w[i+1] AS w2 FROM toks,
+       |    LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i))
+       |SELECT b.w1, b.w2, CAST(count(*) AS BIGINT) AS n
+       |FROM big b
+       |JOIN freq f1 ON f1.word = b.w1
+       |JOIN freq f2 ON f2.word = b.w2
+       |GROUP BY b.w1, b.w2
+       |ORDER BY w1, w2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_ext_sql_fingerprint" -> (q47 _),
     "q48_ext_shingle_stats" -> (q48 _),
     "q49_ext_sql_dot" -> (q49 _),
     "q53_cc_star" -> (q53 _),
-    "q54_morph_features" -> (q54 _))
+    "q54_morph_features" -> (q54 _),
+    "q62_brown_corpus_stats" -> (q62 _))
 
   val oracles: Map[String, String] = Map(
     "q47_ext_sql_fingerprint" -> o47,
     "q48_ext_shingle_stats" -> o48,
     "q49_ext_sql_dot" -> o49,
     "q53_cc_star" -> Queries2.oracles("q12_conn_components"),
-    "q54_morph_features" -> o54)
+    "q54_morph_features" -> o54,
+    "q62_brown_corpus_stats" -> o62)
 }
