@@ -111,7 +111,20 @@ class StreamingSpec extends SparkTestBase {
     val s = spark
     import s.implicits._
     implicit val sq = s.sqlContext
-    val model = graft.crf.DefaultModel.fitted
+    // a CLUSTER-bearing model, round-tripped through ModelIO like the
+    // shipped artifact — parity must hold through both the cluster
+    // emission term and the save/load path
+    val dir = java.nio.file.Files
+      .createTempDirectory("stream-model").toString
+    graft.io.ModelIO.saveFitted(spark,
+      graft.crf.DefaultModel.fitted.copy(
+        clusters = Map("customer" -> 0, "spark" -> 1),
+        clusterW = Map(
+          0 -> Array.tabulate(graft.crf.Crf.K)(t => 0.2f * t),
+          1 -> Array.fill(graft.crf.Crf.K)(-0.1f))),
+      s"$dir/m")
+    val model = graft.io.ModelIO.loadFitted(spark, s"$dir/m")
+    assert(model.clusterW.size == 2)
     val files = graft.core.Corpus.synthesize(spark, 20).collect().toSeq
     val mem = MemoryStream[graft.core.SourceFile]
     mem.addData(files: _*)
