@@ -167,14 +167,44 @@ object Queries4 {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Oromo normalization — rows-only (DuckDB's RE2 has no
-    * backreferences, so the dedup rules aren't oracle-expressible;
-    * golden parity vs the reference lives in ConllOpsSpec). */
+  /** Oromo normalization — oracled since round 3. RE2 has no
+    * backreferences, but the two backref rules unroll into literal
+    * per-letter passes: doubled-vowel collapse → 5 replaces, doubled
+    * consonant (incl. digraphs) → one replace per alternation member
+    * in the reference's order. Single-pass-regex vs sequential-pass
+    * equivalence holds on every realizable corpus token (validated on
+    * the full vocab; a corpus word where a replacement manufactures a
+    * new double — e.g. `cchch` — would fail the gate loudly). The
+    * remaining rules (captures, \\b) are RE2-native. Golden parity vs
+    * the reference also lives in ConllOpsSpec. */
   private def q36(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w")).distinct()
       .select(col("w"), ConllOps.ormNormalize(col("w")).as("norm"))
       .orderBy("w")
+
+  private def o36: String = {
+    val cons = ConllOps.ormConsonants
+    var e = "lower(w)"
+    def rep(p: String, r: String): Unit =
+      e = s"regexp_replace($e, '$p', '$r', 'g')"
+    "aeiou".foreach(v => rep(s"$v$v", s"$v"))
+    cons.foreach(c => rep(s"$c$c", c))
+    rep("ph", "p"); rep("q", "k"); rep("x", "t")
+    rep("c([^h]|\\b)", "ch\\1")
+    rep("ai", "ayi")
+    rep(s"s(${cons.mkString("|")})", "f\\1")
+    s"""WITH w AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |n AS (SELECT w, $e AS n FROM w)
+       |SELECT w, CASE
+       |  WHEN regexp_matches(w, '^[[:upper:]]+$$') THEN w
+       |  WHEN regexp_matches(w, '^[[:upper:]][[:lower:]]*$$')
+       |    THEN upper(substr(n, 1, 1)) || substr(n, 2)
+       |  ELSE n END AS norm
+       |FROM n ORDER BY w""".stripMargin
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_conll_scan" -> (q30 _),
@@ -191,5 +221,6 @@ object Queries4 {
     "q32_bio2bioes" -> o32,
     "q33_brown_clusters" -> o33,
     "q34_edl_records" -> o34,
-    "q35_native_rolling_hash" -> o35)
+    "q35_native_rolling_hash" -> o35,
+    "q36_orm_normalize" -> o36)
 }

@@ -74,8 +74,14 @@ object ConllOps {
     * (utils/orm_norm/ormnorm.py:6-15; the orm_morph.py:48-57 variant
     * omits the final s+consonant rule). Java regex keeps Python's
     * leftmost-alternative and backreference semantics. */
+  /** The consonant alternation of ormnorm.py's dedup/fortition rules,
+    * in the reference's order (shared with the q36 oracle builder). */
+  val ormConsonants: Seq[String] = Seq(
+    "b", "c", "ch", "d", "dh", "f", "g", "h", "j", "k", "l", "m", "n",
+    "ny", "p", "ph", "q", "r", "s", "sh", "t", "v", "w", "x", "y", "z")
+
   val ormPatterns: Seq[(String, String)] = {
-    val cons = "(b|c|ch|d|dh|f|g|h|j|k|l|m|n|ny|p|ph|q|r|s|sh|t|v|w|x|y|z)"
+    val cons = ormConsonants.mkString("(", "|", ")")
     Seq(
       ("([aeiou])(\\1)", "$1"),
       (cons + "\\1", "$1"),
