@@ -17,7 +17,7 @@ object BrownTrain {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("models/eng.brown.tsv")
-    val c = args.lift(1).map(_.toInt).getOrElse(128)
+    val c = args.lift(1).map(_.toInt).getOrElse(256)
     val passes = args.lift(2).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
