@@ -30,6 +30,16 @@ object Bench {
   def replication: Int =
     sys.env.getOrElse("SPARK_GRAFT_REPLICATION", "8").toInt
 
+  /** The tail-safe driver-contract line: ≤ 250 bytes so ANY tail
+    * window captures one complete JSON object (BENCH_r01/r02 recorded
+    * parsed:null because the full per-query line truncated mid-line).
+    * Printed LAST by [[main]]; format pinned by DriverContractSpec. */
+  def shortJson(tps: Double, pipeSec: Double, triples: Long,
+      cpus: String, sfDir: String): String =
+    s"""{"metric":"pipeline_triples_per_sec","value":$tps,""" +
+    s""""unit":"triples/sec","pipeline_sec":$pipeSec,""" +
+    s""""triples":$triples,"cpus":$cpus,"sf":"$sfDir"}"""
+
   /** One pipeline run → (seconds, triples). */
   def runPipeline(spark: SparkSession, sfDir: String,
       rep: Int = replication): (Double, Long) = {
@@ -87,19 +97,17 @@ object Bench {
     println(json)
     // Driver contract: the full line above is ~3.7 KB and the driver's
     // tail window has truncated it mid-line two rounds running
-    // (BENCH_r01/r02 parsed:null). Print a SHORT (<200 B) metric-only
-    // line LAST so any tail capture ends with one complete JSON object;
+    // (BENCH_r01/r02 parsed:null). Print the SHORT metric-only line
+    // LAST so any tail capture ends with one complete JSON object;
     // per-query detail stays in the full line + BENCH_LOCAL.json.
-    val shortJson =
-      s"""{"metric":"pipeline_triples_per_sec","value":$tps,""" +
-      s""""unit":"triples/sec","pipeline_sec":$pipeSec,""" +
-      s""""triples":$triples,"cpus":$cpus,"sf":"$sfDir"}"""
-    println(shortJson)
+    val short = shortJson(tps, pipeSec, triples, cpus, sfDir)
+    println(short)
     // Belt-and-braces for the driver contract: sbt may decorate stdout
     // (round-1 BENCH parsed:null), so the bare metric line also lands in
     // a known file next to the build.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n" + shortJson + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json + "\n" + short + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

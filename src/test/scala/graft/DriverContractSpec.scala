@@ -31,6 +31,19 @@ class DriverContractSpec extends SparkTestBase {
     }
   }
 
+  test("the bench tail-safe line stays short and well-formed (the " +
+      "driver's tail window must capture a complete JSON object)") {
+    val line = Bench.shortJson(123456.789, 7.0534, 89598L, "32",
+      "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length <= 250, line.length.toString)
+    assert(line.startsWith("{") && line.endsWith("}"))
+    // minimal JSON sanity without a parser dependency: balanced
+    // braces, the metric key, no raw newlines
+    assert(line.contains("\"metric\":\"pipeline_triples_per_sec\""))
+    assert(line.contains("\"value\":") && line.contains("\"sf\":"))
+    assert(!line.contains("\n") && line.count(_ == '{') == 1)
+  }
+
   test("query ids are unique across Queries* batches") {
     val batches = Seq(Queries.all, Queries2.all, Queries3.all,
       Queries4.all, Queries5.all, Queries6.all, Queries7.all)
