@@ -257,12 +257,15 @@ object Queries3 {
 
   private val o25 =
     """SELECT label, i - 1 AS dim,
-      |  round(avg(embedding[i]::DOUBLE), 4) AS mean_v
+      |  round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS mean_v
       |FROM embeddings,
       |     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
-  // ---- multimodal plumbing (rows-only: synthetic binary fixture) ------
+  // ---- multimodal plumbing over the binary fixture ---------------------
+  // The fixture payloads come from Multimodal.mediaByte's pure integer
+  // formula, so the oracle recomputes the same (media_id, byte) grid
+  // relationally and checks the decode stats without any blob I/O.
 
   private def q26(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(s, 300)
@@ -270,6 +273,28 @@ object Queries3 {
       .select("media_id", "kind", "n_bytes", "byte_mean", "byte_entropy_q")
       .orderBy("media_id")
   }
+
+  private val o26 =
+    """WITH media AS (
+      |  SELECT i,
+      |    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+      |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    8 + ((i+1)*48271 % 65521) % 24 AS w,
+      |    8 + ((i+1)*16807 % 65521) % 24 AS h
+      |  FROM range(0, 300) t(i)),
+      |grid AS (
+      |  SELECT i, kind, n_bytes, j,
+      |    ((i+1)*40503 + (j+1)*65429) % 65521 AS a
+      |  FROM (SELECT i, kind, w*h AS n_bytes,
+      |          unnest(generate_series(0, w*h - 1)) AS j
+      |        FROM media))
+      |SELECT i AS media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+      |  round(CAST(sum(((a*a + 7*a + j) % 65521) % 256) AS DOUBLE)
+      |    / count(*), 4) AS byte_mean,
+      |  count(DISTINCT ((a*a + 7*a + j) % 65521) % 256) AS byte_entropy_q
+      |FROM grid
+      |GROUP BY i, kind, n_bytes
+      |ORDER BY media_id""".stripMargin
 
   // ---- fact-fact shuffle join + per-group top-k ------------------------
 
@@ -337,6 +362,7 @@ object Queries3 {
     "q23_ann_bruteforce" -> o23,
     "q24_ann_lsh" -> o24,
     "q25_centroids" -> o25,
+    "q26_multimodal_features" -> o26,
     "q27_fact_join" -> o27,
     "q28_topk_per_group" -> o28)
 }

@@ -26,17 +26,28 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Int,
       byte_mean: Double, byte_entropy_q: Long, thumb: Array[Byte])
 
-  /** Deterministic synthetic media table (seeded): payload bytes from a
-    * per-row LCG — stands in for real image/audio blobs. */
-  def synthesize(spark: SparkSession, n: Int, seed: Long = 42L)
-      : Dataset[MediaRow] = {
+  /** Payload byte formula: `a = ((i+1)·40503 + (j+1)·65429) mod 65521`,
+    * `byte(i,j) = ((a² + 7a + j) mod 65521) mod 256` — a quadratic
+    * residue scramble over the (media_id, byte index) grid. Pure 64-bit
+    * integer arithmetic with every intermediate < 2^33, so ANY engine
+    * reproduces it exactly (the q26 DuckDB oracle recomputes the grid
+    * relationally — the binary fixture needs no blob round-trip). */
+  def mediaByte(i: Long, j: Long): Int = {
+    val a = ((i + 1) * 40503L + (j + 1) * 65429L) % 65521L
+    (((a * a + 7L * a + j) % 65521L) % 256L).toInt
+  }
+
+  /** Deterministic synthetic media table: dimensions and payload bytes
+    * from [[mediaByte]]-style integer formulas — stands in for real
+    * image/audio blobs while staying reproducible in both engines. */
+  def synthesize(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).as[Long].map { i =>
-      val rng = new java.util.Random(seed * 31 + i)
       val kinds = Vector("image", "audio", "video")
-      val w = 8 + rng.nextInt(24); val h = 8 + rng.nextInt(24)
-      val payload = new Array[Byte](w * h)
-      rng.nextBytes(payload)
+      val w = (8 + ((i + 1) * 48271L % 65521L) % 24L).toInt
+      val h = (8 + ((i + 1) * 16807L % 65521L) % 24L).toInt
+      val payload =
+        Array.tabulate(w * h)(j => mediaByte(i, j.toLong).toByte)
       MediaRow(i, kinds((i % 3).toInt), w, h, payload)
     }
   }
@@ -61,17 +72,25 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val bytes = m.payload
-        val mean =
-          if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
         // quantized byte "entropy": count of distinct byte values —
         // a deterministic stand-in for a real histogram entropy
         val distinctBytes = bytes.map(_ & 0xff).toSet.size.toLong
         MediaFeatures(m.media_id, m.kind, bytes.length,
-          math.rint(mean * 10000) / 10000, distinctBytes,
+          byteMean(bytes), distinctBytes,
           decodeStub(bytes, thumbLen))
       }
     }
+  }
+
+  /** Exact-integer sum then one double division, rounded 4dp HALF_UP —
+    * bit-identical to DuckDB `round(CAST(sum AS DOUBLE)/count, 4)`. */
+  def byteMean(bytes: Array[Byte]): Double = {
+    if (bytes.isEmpty) return 0.0
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    java.math.BigDecimal.valueOf(s.toDouble / bytes.length)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   /** Batched twin of [[extractFeatures]] with the `mapInPandas` batch
@@ -104,11 +123,8 @@ object Multimodal {
       : Iterator[MediaFeatures] =
     ids.indices.iterator.map { i =>
       val bytes = payloads(i)
-      val mean =
-        if (bytes.isEmpty) 0.0
-        else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
       MediaFeatures(ids(i), kinds(i), bytes.length,
-        math.rint(mean * 10000) / 10000,
+        byteMean(bytes),
         bytes.map(_ & 0xff).toSet.size.toLong,
         decodeStub(bytes, thumbLen))
     }
