@@ -46,9 +46,16 @@ class DriverContractSpec extends SparkTestBase {
 
   test("query ids are unique across Queries* batches") {
     val batches = Seq(Queries.all, Queries2.all, Queries3.all,
-      Queries4.all, Queries5.all, Queries6.all, Queries7.all)
+      Queries4.all, Queries5.all, Queries6.all, Queries7.all,
+      Queries8.all)
     val total = batches.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       "duplicate query id silently shadowed across batches")
+  }
+
+  test("every oracle references a registered query (a rename cannot " +
+      "silently drop a correctness gate)") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without a query: $missing")
   }
 }

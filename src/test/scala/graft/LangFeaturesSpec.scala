@@ -1,0 +1,133 @@
+package graft
+
+import graft.core.LangDict
+import graft.features.LangFeatures
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens for the per-language `segnerfts.extract` parity surface
+  * (segnerfts.py:163-749). The first test is the reference's own README
+  * example (utils/segnerfts/README.md:22-26), asserted bit-exact. */
+class LangFeaturesSpec extends AnyFunSuite {
+  import graft.features.Features._
+
+  private def has(m: Int, f: Int) = (m & (1 << f)) != 0
+  private def bits(lang: String, w: String) =
+    LangFeatures.typeTokenBits(lang, w)
+
+  test("README golden: extract('deu', 'Vereinigten Arabischen Republik')") {
+    val got = LangFeatures.extract("deu",
+      "Vereinigten Arabischen Republik".split(' ')).map(_.toSeq).toSeq
+    val want = Seq(
+      Seq(1, 0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      Seq(1, 0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      Seq(1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0))
+    assert(got == want)
+  }
+
+  test("deu suffix-regex heads (segnerfts.py:485-496, 583-595)") {
+    assert(has(bits("deu", "Schwarzwald"), HEAD_LOC))   // wald$
+    assert(!has(bits("deu", "Wald"), HEAD_LOC))         // wald$ is lowercase-only
+    assert(has(bits("deu", "Bodensee"), HEAD_LOC))      // [Ss]ee$
+    assert(has(bits("deu", "Deutschland"), HEAD_GPE))   // land$
+    assert(has(bits("deu", "Kasachstan"), HEAD_GPE))    // stan$
+    // berg$ is a gpe suffix AND [Bb]erg$ a loc suffix: both fire
+    val hd = bits("deu", "Heidelberg")
+    assert(has(hd, HEAD_GPE) && has(hd, HEAD_LOC))
+    assert(has(bits("deu", "Teilrepublik"), HEAD_GPE))  // [rR]epublik$
+    // deu set-based features stay exact-case
+    assert(has(bits("deu", "Bürgermeister"), TITLE))
+    assert(!has(bits("deu", "bürgermeister"), TITLE))
+    assert(has(bits("deu", "GmbH"), HEAD_ORG) &&
+      has(bits("deu", "GmbH"), MIXED_CASE))
+    assert(has(bits("deu", "vom"), PREP_FROM) &&
+      has(bits("deu", "Im"), PREP_IN))
+  }
+
+  test("amh prefix prepositions + exact-set features (segnerfts.py:663-676)") {
+    assert(has(bits("amh", "ከአዲስ"), PREP_FROM))  // re.match('ከ', w)
+    assert(has(bits("amh", "በአዲስ"), PREP_IN))    // re.match('በ', w)
+    assert(!has(bits("amh", "አዲስከ"), PREP_FROM)) // prefix, not substring
+    val t = bits("amh", "አቶ")
+    assert(has(t, TITLE) && has(t, CONTAINS_ETHIOPIC) &&
+      !has(t, CONTAINS_LATIN) && !has(t, CAPITALIZED))
+    assert(has(bits("amh", "ሚኒስቴር"), TITLE) &&
+      has(bits("amh", "ሚኒስቴር"), HEAD_ORG)) // word in both amh lists
+    assert(has(bits("amh", "ከተማ"), HEAD_GPE))
+    // the slash in ወ/ሮ is NON_LETTER but not an internal period
+    val s = bits("amh", "ወ/ሮ")
+    assert(has(s, TITLE) && has(s, NON_LETTER) && !has(s, INTERNAL_PERIOD))
+  }
+
+  test("orm lowercase-first rule; tir/som exact matchers (segnerfts.py:339,352,667-677)") {
+    assert(has(bits("orm", "Obbo"), TITLE))       // w.lower() in set
+    assert(has(bits("orm", "OBBO"), TITLE))
+    assert(has(bits("orm", "Magaalaa"), HEAD_GPE))
+    assert(has(bits("orm", "Irraa"), PREP_FROM) &&
+      has(bits("orm", "keessa"), PREP_IN))
+    assert(has(bits("tir", "ኣቶ"), TITLE) && has(bits("tir", "ካብ"), PREP_FROM))
+    assert(!has(bits("tir", "ኣቶን"), TITLE))       // tir is exact-surface
+    assert(has(bits("tir", "ኣብ"), PREP_IN))
+    // som: title set is empty; heads compare lowercased; preps exact
+    assert(!has(bits("som", "Dowladda"), TITLE))
+    assert(has(bits("som", "Dowladda"), HEAD_ORG))
+    assert(has(bits("som", "ee"), PREP_IN) && !has(bits("som", "Ee"), PREP_IN))
+    assert(has(bits("som", "ilaa"), PREP_FROM))
+  }
+
+  test("reference type-feature quirks: mixed-case counts non-letters, digits = \\p{Number}") {
+    // w[1:] of 'A.B' has an upper AND a not-upper char -> mixed per the
+    // reference (segnerfts.py:132-136), though '.' is no lowercase letter
+    val ab = bits("eng", "A.B")
+    assert(has(ab, MIXED_CASE) && has(ab, INTERNAL_PERIOD))
+    assert(!has(bits("eng", "Abc"), MIXED_CASE))
+    // Ethiopic digit one U+1369 is category No: \p{Number} fires, and so
+    // does the Ethiopic script feature (segnerfts.py:147-148, 159-160)
+    val d = bits("amh", "ቍ፩")
+    assert(has(d, DIGITS) && has(d, CONTAINS_ETHIOPIC))
+    assert(!has(bits("eng", "abc"), DIGITS))
+    // eng titles are the reference's exact list: Mister yes, Mayor yes
+    assert(has(bits("eng", "Mister"), TITLE) &&
+      has(bits("eng", "Mayor"), TITLE))
+    assert(has(bits("eng", "Bureau"), HEAD_ORG))
+    assert(has(bits("eng", "Mosque"), HEAD_LOC))
+    assert(has(bits("eng", "Nation"), HEAD_GPE))
+  }
+
+  test("gazBits: case-sensitive sliding match, every entry marks independently") {
+    val gaz: LangDict.Gaz = Map(
+      "GPE" -> Vector(Vector("Addis", "Ababa")),
+      "LOC" -> Vector(Vector("Ababa")),
+      "ORG" -> Vector(), "PER" -> Vector())
+    val toks = Array("Addis", "Ababa", "addis", "x")
+    val m = LangFeatures.gazBits(toks, gaz)
+    assert(has(m(0), B_GAZ + 0) && !has(m(0), O_GAZ))        // B-GPE
+    assert(has(m(1), I_GAZ + 0) && has(m(1), B_GAZ + 1))     // I-GPE + B-LOC
+    assert(has(m(2), O_GAZ) && m(2) == (1 << O_GAZ))         // case-sensitive
+    assert(has(m(3), O_GAZ))
+  }
+
+  test("loadGaz: variants, GPE default for single-token English, drops") {
+    val g = LangDict.loadGaz(Seq(
+      ("Addis Ababa", "GPE", "ኣዲስ ኣበባ", "Finfinnee; Finfinne"),
+      ("Oromia", "", "", "Oromiyaa"),        // unlabeled 1-token eng -> GPE
+      ("Grand Hotel", "", "ሆቴል", "Hoteela"), // unlabeled multi-token -> drop
+      ("Nile", "LOC", "ኒል", "")))
+    assert(g("tir")("GPE") == Vector(Vector("ኣዲስ", "ኣበባ")))
+    assert(g("orm")("GPE") ==
+      Vector(Vector("Finfinnee"), Vector("Finfinne"), Vector("Oromiyaa")))
+    assert(g("orm")("LOC").isEmpty && g("tir")("LOC") == Vector(Vector("ኒል")))
+    assert(g("tir")("ORG").isEmpty && g("orm")("ORG").isEmpty)
+    assert(g("eng")("GPE").isEmpty) // only tir/orm columns carry entries
+  }
+
+  test("extractWithGaz composes 24-dim rows (extract_type_token_gaz)") {
+    val gaz: LangDict.Gaz = Map("GPE" -> Vector(Vector("ኣዲስ", "ኣበባ")),
+      "LOC" -> Vector(), "ORG" -> Vector(), "PER" -> Vector())
+    val rows = LangFeatures.extractWithGaz("tir",
+      Array("ኣብ", "ኣዲስ", "ኣበባ"), gaz)
+    assert(rows.forall(_.length == 24))
+    assert(rows(0)(PREP_IN) == 1 && rows(0)(O_GAZ) == 1)
+    assert(rows(1)(B_GAZ + 0) == 1 && rows(1)(O_GAZ) == 0)
+    assert(rows(2)(I_GAZ + 0) == 1)
+  }
+}
