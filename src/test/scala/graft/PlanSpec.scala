@@ -59,6 +59,35 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).size == 2, plan.take(800))
   }
 
+  test("cross-doc vote is counts-only: no checkpoint scan, upstream " +
+      "exchange reused across the aggregate and output branches") {
+    val s = spark
+    import s.implicits._
+    val ms = Seq(
+      graft.core.Mention("r", "p1", 0, 0, 4, "Acme", "ORG", 1.0),
+      graft.core.Mention("r", "p2", 0, 9, 13, "Acme", "PER", 1.0),
+      graft.core.Mention("r", "p2", 1, 2, 6, "Acme", "ORG", 1.0),
+      graft.core.Mention("r", "p3", 0, 2, 7, "Globe", "LOC", 1.0))
+      .toDS().repartition(4) // barrier: a realistic shuffled upstream
+    val out = graft.postprocess.PostProcess.crossDocVote(ms, topK = 20)
+    val analyzed = out.queryExecution.analyzed.toString
+    // round 3 localCheckpoint'ed the stream → a LogicalRDD scan; the
+    // counts-only shape must not materialize anything
+    assert(!analyzed.contains("LogicalRDD"), analyzed.take(600))
+    out.collect() // run it so AQE finalizes the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    // reuse evidence: the upstream shuffle stage feeds BOTH branches —
+    // under AQE that surfaces as the same stage id appearing twice (or
+    // as an explicit ReusedExchange without AQE)
+    val stageIds = "ShuffleQueryStage (\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toVector
+    assert(plan.contains("ReusedExchange") ||
+      stageIds.size > stageIds.distinct.size, plan)
+    // and the vote itself still holds: Acme -> ORG everywhere
+    assert(out.collect().forall(m =>
+      m.text != "Acme" || m.tag == "ORG"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     assume(available)
     // plain Cast, not transform(): higher-order-function lambdas are
