@@ -103,12 +103,16 @@ object Bench {
     val short = shortJson(tps, pipeSec, triples, cpus, sfDir)
     println(short)
     // Belt-and-braces for the driver contract: sbt may decorate stdout
-    // (round-1 BENCH parsed:null), so the bare metric line also lands in
-    // a known file next to the build.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json + "\n" + short + "\n")
-    catch { case _: Throwable => () }
+    // (round-1 BENCH parsed:null), so the metric lines also land in
+    // known files next to the build — the full line alone in
+    // BENCH_LOCAL.json (one JSON object, json.load-able) and the
+    // tail-safe short line alone in BENCH_SHORT.json.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SHORT.json"), short + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

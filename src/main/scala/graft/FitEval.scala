@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object FitEval {
 
-  val trainPath = "/root/reference/datasets/english/eng.train.bio.conll"
-  val testPath = "/root/reference/datasets/english/eng.test.bio.conll"
+  /** Fit/eval corpora — overridable (GRAFT_ENG_TRAIN / GRAFT_ENG_TEST)
+    * so fit/train runs against a copied corpus without touching
+    * /root/reference; defaults stay the in-tree reference data. */
+  val trainPath: String = sys.env.getOrElse("GRAFT_ENG_TRAIN",
+    "/root/reference/datasets/english/eng.train.bio.conll")
+  val testPath: String = sys.env.getOrElse("GRAFT_ENG_TEST",
+    "/root/reference/datasets/english/eng.test.bio.conll")
 
   /** The pinned English model: best configuration of the sweep below
     * (measured span F1 = 0.7269 on eng.test's 5648 gold spans, P=0.731
@@ -77,7 +82,11 @@ object FitEval {
       val cids =
         if (cmap.isEmpty) Array.empty[Int]
         else Array.tabulate(t.words.length) { i =>
-          if (!clustersForAll && vmap.contains(t.words(i))) -1
+          // the OOV gate must match emit's exact-then-lowercase word
+          // resolution: a case-variant of an in-vocab word serves the
+          // lowercase word row, so its cluster row must not also train
+          if (!clustersForAll && (vmap.contains(t.words(i)) ||
+              vmap.contains(t.words(i).toLowerCase))) -1
           else cmap.get(t.words(i))
             .orElse(cmap.get(t.words(i).toLowerCase))
             .map(V + S + 1 + _).getOrElse(-1)
@@ -95,9 +104,14 @@ object FitEval {
     val closedForm =
       FitCrf.weights(FitCrf.countStats(train, minCount = 2, rareMax = 1))
     val vocabSet = vocab.toSet
+    // mirror fitWithClusters' double-form gate (FitCrf emit resolves
+    // exact-then-lowercase, so both forms must be absent for the
+    // cluster row to serve)
     val servedClusters =
       if (clustersForAll) clusters
-      else clusters.filter { case (w2, _) => !vocabSet.contains(w2) }
+      else clusters.filter { case (w2, _) =>
+        !vocabSet.contains(w2) && !vocabSet.contains(w2.toLowerCase)
+      }
     FitCrf.FittedModel(w,
       vocab.zipWithIndex.map { case (word, i) => word -> wv(i) }.toMap,
       rareShapes.zipWithIndex.map { case (sh, i) =>
@@ -157,11 +171,15 @@ object FitEval {
 
   /** Brown clusters of eng.train (trained in-session, ~12 s — the
     * reference's external `--brown_cluster_path` input, built by
-    * [[graft.features.Brown]]). */
+    * [[graft.features.Brown]]). Densified by BITSTRING
+    * ([[graft.features.Brown.clusterMapByBits]]): for graft's own
+    * cluster features, distinct tree leaves must stay distinct even
+    * when int(bits, 2) coincides — the int-conversion densify is the
+    * reference reader's quirk and stays on the q33 parity path. */
   def engClusters(spark: SparkSession, numClusters: Int = 128)
       : Map[String, Int] = {
     import spark.implicits._
-    graft.features.Brown.clusterMap(graft.features.Brown.cluster(
+    graft.features.Brown.clusterMapByBits(graft.features.Brown.cluster(
       ConllOps.conllFileSentences(spark, trainPath).map(_.words),
       numClusters = numClusters))
   }

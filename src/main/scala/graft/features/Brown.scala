@@ -39,20 +39,40 @@ object Brown {
 
   /** Corpus statistics for clustering: (vocab sorted by −freq then
     * word, bigram triples by word id). Distributed counting, pruned
-    * before collect. Bigrams touching a pruned word are dropped. */
+    * before collect. Bigrams touching a pruned word are dropped.
+    *
+    * Driver-memory guard: the pruned row counts are checked BEFORE
+    * either collect — on a corpus whose post-prune vocab or bigram
+    * table exceeds `maxDriverRows`, the call fails with the knobs to
+    * raise (`minCount`/`minBigram`) instead of silently OOM-ing the
+    * driver. The guard pays one extra pass over each aggregate (not
+    * the corpus — the agg output is the thing counted), which is noise
+    * next to the exchange optimization itself. */
   def corpusCounts(sentences: Dataset[Array[String]],
-      minCount: Long = 1, minBigram: Long = 1)
+      minCount: Long = 1, minBigram: Long = 1,
+      maxDriverRows: Long = 5000000L)
       : (Array[(String, Long)], Array[(Int, Int, Long)]) = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    val uni = sentences.flatMap(ws => ws).groupBy(col("value").as("word"))
+    def guard(df: Dataset[_], what: String, knob: String): Unit = {
+      val n = df.limit(
+        math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).count()
+      if (n > maxDriverRows) throw new IllegalStateException(
+        s"Brown.corpusCounts: pruned $what table exceeds " +
+          s"$maxDriverRows driver rows (> $n). Raise $knob (current " +
+          s"minCount=$minCount, minBigram=$minBigram) or " +
+          s"maxDriverRows — counts, not text, must fit on the driver.")
+    }
+    val uniDf = sentences.flatMap(ws => ws)
+      .groupBy(col("value").as("word"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
-      .as[(String, Long)].collect()
-      .sortBy { case (w, n) => (-n, w) }
+      .as[(String, Long)]
+    guard(uniDf, "vocab", "minCount")
+    val uni = uniDf.collect().sortBy { case (w, n) => (-n, w) }
     val id = uni.iterator.map(_._1).zipWithIndex.toMap
     val bId = spark.sparkContext.broadcast(id)
-    val big = sentences.flatMap { ws =>
+    val bigDf = sentences.flatMap { ws =>
       val m = bId.value
       (0 until ws.length - 1).iterator.flatMap { i =>
         for (a <- m.get(ws(i)); b <- m.get(ws(i + 1))) yield (a, b)
@@ -60,7 +80,9 @@ object Brown {
     }.groupBy(col("_1").as("a"), col("_2").as("b"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minBigram)
-      .as[(Int, Int, Long)].collect()
+      .as[(Int, Int, Long)]
+    guard(bigDf, "bigram", "minBigram")
+    val big = bigDf.collect()
     bId.destroy()
     (uni, big)
   }
@@ -252,10 +274,24 @@ object Brown {
     }.toDF("bits", "word", "freq")
   }
 
-  /** Word → dense cluster id map for feature lookup, via the same
-    * densification as the scan path (bits → base-2 int → dense rank —
-    * data_loader.py:36-40 semantics, shared with q33). */
+  /** Word → dense cluster id map via the REFERENCE-READER densification
+    * (bits → base-2 int → dense rank — data_loader.py:36-40 semantics,
+    * shared with q33). NB int(bits, 2) conflates leaves like '010' and
+    * '10'; that quirk is the reader's, kept here only for parity. */
   def clusterMap(tsv: DataFrame): Map[String, Int] =
     graft.conll.ConllOps.brownClusters(tsv)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  /** Word → dense cluster id by the BITSTRING itself (dense rank over
+    * sorted distinct bits) — the internal feature path: distinct tree
+    * leaves stay distinct clusters even when their binary values
+    * coincide ('010' vs '10'). Use this when training graft's own
+    * cluster features; keep [[clusterMap]] where reader parity is the
+    * point. */
+  def clusterMapByBits(tsv: DataFrame): Map[String, Int] = {
+    val rows = tsv.select("bits", "word").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ids = rows.map(_._1).distinct.sorted.zipWithIndex.toMap
+    rows.map { case (bits, w) => w -> ids(bits) }.toMap
+  }
 }

@@ -77,4 +77,28 @@ class BrownSpec extends SparkTestBase {
     assert(big.forall { case (x, y, _) => x < uni.length && y < uni.length })
     assert(ids.contains("alpha"))
   }
+
+  test("driver-memory guard: an oversized pruned table fails BEFORE " +
+      "collect with the knobs to raise") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalStateException] {
+      Brown.corpusCounts(corpus.toDS(), maxDriverRows = 2)
+    }
+    assert(e.getMessage.contains("minCount"))
+    assert(e.getMessage.contains("maxDriverRows"))
+  }
+
+  test("clusterMapByBits keeps numerically-equal bitstrings distinct " +
+      "('010' vs '10' are different tree leaves)") {
+    val s = spark
+    import s.implicits._
+    val tsv = Seq(("010", "apple", 5L), ("10", "bank", 9L),
+      ("010", "pear", 3L)).toDF("bits", "word", "freq")
+    // reader-parity densify conflates them (int(bits,2) == 2 for both)
+    assert(Brown.clusterMap(tsv).values.toSet.size == 1)
+    val byBits = Brown.clusterMapByBits(tsv)
+    assert(byBits("apple") == byBits("pear"))
+    assert(byBits("apple") != byBits("bank"))
+  }
 }

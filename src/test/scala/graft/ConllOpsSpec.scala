@@ -63,7 +63,14 @@ class ConllOpsSpec extends SparkTestBase {
       "misra" -> "mifra",  // s+consonant → f+consonant
       "aaa" -> "aa",       // non-overlapping sub, like re.sub
       "1996-08-22" -> "1996-08-22",
-      "Addis" -> "Adis")
+      "Addis" -> "Adis",
+      // manufactured-double witness: the single-pass backreference
+      // dedup (reference + engine) leaves 'chch' — the q36 oracle's
+      // per-letter sequential unroll would collapse it to 'ch', so the
+      // oracle's scope condition (no replacement manufactures a new
+      // double; validated on the gate corpus vocab) is pinned HERE,
+      // not only by the corpus
+      "cchch" -> "chch")
     val df = golden.map(_._1).toDF("w")
       .withColumn("norm", ConllOps.ormNormalize(col("w")))
       .withColumn("norm2", ConllOps.ormNormalize(col("norm")))
@@ -74,7 +81,9 @@ class ConllOpsSpec extends SparkTestBase {
       // the reference itself is not idempotent on odd-length runs
       // ("aaa"→"aa"→"a", a re.sub non-overlap artifact) — assert
       // idempotence everywhere else
-      if (w != "aaa") assert(n2 == n, s"idempotence on $w")
+      // ("cchch"'s leftover 'chch' is itself a double — second pass
+      // collapses it, like the reference would on a second call)
+      if (w != "aaa" && w != "cchch") assert(n2 == n, s"idempotence on $w")
     }
   }
 
