@@ -48,8 +48,35 @@ object FitEval {
   def trainFullModel(spark: SparkSession, epochs: Int = 300,
       lr: Double = 1.0, l2: Double = 3e-5,
       clusters: Map[String, Int] = Map.empty,
-      clustersForAll: Boolean = false): FitCrf.FittedModel = {
+      clustersForAll: Boolean = false,
+      clusterBits: Map[String, String] = Map.empty,
+      prefixLens: Seq[Int] = Nil): FitCrf.FittedModel = {
     import spark.implicits._
+    // Prefix mode (Koo et al. 2008-style): pass `clusterBits`
+    // (word → Brown BITSTRING) + `prefixLens`; each token then fires
+    // one trained row per DISTINCT bit-prefix of its cluster path
+    // (short paths dedup — '010'.take(6) == '010'.take(4)). Serving
+    // collapses the prefix rows per full bitstring into ONE summed
+    // vector, so the FittedModel/artifact format is unchanged.
+    val usePrefix = clusterBits.nonEmpty && prefixLens.nonEmpty
+    // distinct prefix VALUES only, keyed by the first length that
+    // produces each — a short path must not fire at several lengths
+    def prefixKeys(bits: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var prev: String = null
+      prefixLens.foreach { l =>
+        val p = bits.take(l)
+        if (p != prev) out += s"$l:$p"
+        prev = p
+      }
+      out.result()
+    }
+    val rowKeys: Array[String] =
+      if (usePrefix)
+        clusterBits.values.toArray.distinct.flatMap(prefixKeys)
+          .distinct.sorted
+      else Array.empty
+    val rowIds = rowKeys.zipWithIndex.toMap
     val train = labeled(spark, trainPath)
     val wordFreq = train.flatMap(_.words).groupBy("value").count()
     val vocab = wordFreq.filter(col("count") >= 2)
@@ -59,10 +86,17 @@ object FitEval {
       .map(w => FitCrf.shapeOf(graft.features.Features.tokenBits(w)))
       .distinct.sorted
     val V = vocab.length; val S = rareShapes.length
-    val C = if (clusters.isEmpty) 0 else clusters.values.max + 1
+    val C =
+      if (usePrefix) rowKeys.length
+      else if (clusters.isEmpty) 0
+      else clusters.values.max + 1
+    val stride = if (usePrefix) prefixLens.length else 1
     val bV = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
     val bS = spark.sparkContext.broadcast(rareShapes.zipWithIndex.toMap)
     val bC = spark.sparkContext.broadcast(clusters)
+    val bBits = spark.sparkContext.broadcast(clusterBits)
+    val bRows = spark.sparkContext.broadcast(rowIds)
+    val bLens = spark.sparkContext.broadcast(prefixLens.toArray)
     val data = train.map { t =>
       val vmap = bV.value; val smap = bS.value; val cmap = bC.value
       val masks =
@@ -79,19 +113,50 @@ object FitEval {
       // cluster rows train on exactly the backoff population they
       // serve (additive-everywhere measured 0.7414 vs 0.7483 baseline
       // at 300 epochs — in-vocab updates drown the OOV signal).
+      // The OOV gate matches emit's exact-then-lowercase word
+      // resolution: a case-variant of an in-vocab word serves the
+      // lowercase word row, so its cluster row must not also train.
+      def gated(w2: String): Boolean =
+        !clustersForAll &&
+          (vmap.contains(w2) || vmap.contains(w2.toLowerCase))
       val cids =
-        if (cmap.isEmpty) Array.empty[Int]
+        if (usePrefix) {
+          val bmap = bBits.value; val rows = bRows.value
+          val lens = bLens.value
+          val out = Array.fill(t.words.length * lens.length)(-1)
+          var i = 0
+          while (i < t.words.length) {
+            val w2 = t.words(i)
+            if (!gated(w2)) {
+              bmap.get(w2).orElse(bmap.get(w2.toLowerCase)).foreach {
+                bits =>
+                  // distinct prefixes only: a short path must not fire
+                  // the same row at several lengths
+                  var r = 0; var prev = ""
+                  var slot = 0
+                  while (r < lens.length) {
+                    val p = bits.take(lens(r))
+                    if (p != prev) {
+                      out(i * lens.length + slot) =
+                        V + S + 1 + rows(s"${lens(r)}:$p")
+                      slot += 1
+                    }
+                    prev = p
+                    r += 1
+                  }
+              }
+            }
+            i += 1
+          }
+          out
+        } else if (cmap.isEmpty) Array.empty[Int]
         else Array.tabulate(t.words.length) { i =>
-          // the OOV gate must match emit's exact-then-lowercase word
-          // resolution: a case-variant of an in-vocab word serves the
-          // lowercase word row, so its cluster row must not also train
-          if (!clustersForAll && (vmap.contains(t.words(i)) ||
-              vmap.contains(t.words(i).toLowerCase))) -1
+          if (gated(t.words(i))) -1
           else cmap.get(t.words(i))
             .orElse(cmap.get(t.words(i).toLowerCase))
             .map(V + S + 1 + _).getOrElse(-1)
         }
-      graft.crf.CrfTrainer.WordSentence(masks, ids, t.tags, cids)
+      graft.crf.CrfTrainer.WordSentence(masks, ids, t.tags, cids, stride)
     }
     val (w, wv, tr, _) =
       graft.crf.CrfTrainer.trainWords(data, V + S + 1 + C, epochs, lr, l2)
@@ -107,10 +172,32 @@ object FitEval {
     // mirror fitWithClusters' double-form gate (FitCrf emit resolves
     // exact-then-lowercase, so both forms must be absent for the
     // cluster row to serve)
-    val servedClusters =
-      if (clustersForAll) clusters
-      else clusters.filter { case (w2, _) =>
+    def gateServed(m: Map[String, Int]): Map[String, Int] =
+      if (clustersForAll) m
+      else m.filter { case (w2, _) =>
         !vocabSet.contains(w2) && !vocabSet.contains(w2.toLowerCase)
+      }
+    val (servedClusters, servedClusterW) =
+      if (usePrefix) {
+        // collapse: the serving-time cluster vector of a full bitstring
+        // is the SUM of its trained prefix rows — emit then adds one
+        // vector per token exactly as in the single-row form, so the
+        // artifact format doesn't change
+        val bitsVals = clusterBits.values.toVector.distinct.sorted
+        val denseId = bitsVals.zipWithIndex.toMap
+        val cw = bitsVals.map { b =>
+          val v2 = new Array[Float](Dict.K)
+          prefixKeys(b).foreach { key =>
+            val row = wv(V + S + 1 + rowIds(key))
+            var k = 0
+            while (k < v2.length) { v2(k) += row(k); k += 1 }
+          }
+          denseId(b) -> v2
+        }.toMap
+        (gateServed(clusterBits.view.mapValues(denseId).toMap), cw)
+      } else {
+        (gateServed(clusters),
+          (0 until C).map(j => j -> wv(V + S + 1 + j)).toMap)
       }
     FitCrf.FittedModel(w,
       vocab.zipWithIndex.map { case (word, i) => word -> wv(i) }.toMap,
@@ -119,7 +206,18 @@ object FitEval {
       }.toMap,
       closedForm.shapeDefault, tr, 1f,
       clusters = servedClusters,
-      clusterW = (0 until C).map(j => j -> wv(V + S + 1 + j)).toMap)
+      clusterW = servedClusterW)
+  }
+
+  /** Word → Brown BITSTRING map of eng.train (prefix-feature input;
+    * same trained hierarchy as [[engClusters]]). */
+  def engClusterBits(spark: SparkSession, numClusters: Int = 128)
+      : Map[String, String] = {
+    import spark.implicits._
+    graft.features.Brown.cluster(
+      ConllOps.conllFileSentences(spark, trainPath).map(_.words),
+      numClusters = numClusters)
+      .select("word", "bits").as[(String, String)].collect().toMap
   }
 
   /** CoNLL-2003 tag string → engine tag id. MISC ↔ GPE bijection. */
@@ -309,9 +407,44 @@ object FitEval {
       println(f"train-full with-clusters: P=$p2%.4f R=$r2%.4f F1=$f2%.4f")
     }
 
+    // Brown PREFIX features (Koo et al. 2008 recipe; VERDICT r3 ask 4):
+    // OOV-gated rows at several bitstring prefix depths vs the single
+    // full-depth row baseline, identical hierarchy + data + epochs.
+    if (args.contains("--prefix")) {
+      val numC = args.filter(_.startsWith("--num-clusters="))
+        .map(_.drop(15).toInt).headOption.getOrElse(256)
+      val epochs = args.filter(_.startsWith("--epochs="))
+        .map(_.drop(9).toInt).headOption.getOrElse(300)
+      val lens = args.filter(_.startsWith("--lens="))
+        .map(_.drop(7)).headOption.getOrElse("4,6,10,20")
+        .split(',').map(_.toInt).toSeq
+      val t0 = System.nanoTime()
+      val bits = engClusterBits(spark, numC)
+      println(f"brown: $numC clusters over ${bits.size} words in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val denseByBits = {
+        val vs = bits.values.toVector.distinct.sorted.zipWithIndex.toMap
+        bits.view.mapValues(vs).toMap
+      }
+      val t1 = System.nanoTime()
+      val base = trainFullModel(spark, epochs, clusters = denseByBits)
+      val (p0, r0, f0) = microF1(base, sents, gold)
+      println(f"full-depth C=$numC ($epochs ep, " +
+        f"${(System.nanoTime() - t1) / 1e9}%.0f s): " +
+        f"P=$p0%.4f R=$r0%.4f F1=$f0%.4f")
+      val t2 = System.nanoTime()
+      val pref = trainFullModel(spark, epochs, clusterBits = bits,
+        prefixLens = lens)
+      val (p1, r1, f1p) = microF1(pref, sents, gold)
+      println(f"prefix C=$numC lens=${lens.mkString(",")} ($epochs ep, " +
+        f"${(System.nanoTime() - t2) / 1e9}%.0f s): " +
+        f"P=$p1%.4f R=$r1%.4f F1=$f1p%.4f")
+    }
+
     val sweepConfigs =
       if (args.exists(_.startsWith("--train")) ||
-        args.contains("--clusters")) Seq.empty else configs
+        args.contains("--clusters") ||
+        args.contains("--prefix")) Seq.empty else configs
     for ((k, mc, rm, lam) <- sweepConfigs) {
       val t0 = System.nanoTime()
       val model = FitCrf.fit(train, k, mc, rm, lam)
