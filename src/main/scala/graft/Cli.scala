@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   *       [--authors <WL-xml dir>]   full KG pipeline → (subj, pred,
   *       obj) parquet; --authors feeds the DF-genre author→PER
   *       fix-up precedence (extract_authors.py input)
+  * features --lang <amh|deu|eng|orm|som|tir> --in <one-sentence-per-
+  *       line text> --out <dir> [--gaz [--gaz-csv <path>]]
+  *       per-token segnerfts.extract parity rows (15-dim type/token,
+  *       24-dim with --gaz's case-sensitive B/I/O match) → parquet
   * }}}
   *
   * All modes read/write CoNLL text or parquet; MISC maps to the GPE
@@ -115,6 +119,28 @@ object Cli {
     perType
   }
 
+  /** The per-language `segnerfts.extract` surface over
+    * one-sentence-per-line text (setE whitespace scan shape,
+    * data_loader.py:293-303): 15-dim type/token rows, or 24-dim with
+    * the case-sensitive gazetteer B/I/O features when `gaz` is given. */
+  def featuresFrame(spark: SparkSession, lang: String, in: String,
+      gaz: Option[graft.core.LangDict.Gaz] = None): DataFrame = {
+    import spark.implicits._
+    val bGaz = spark.sparkContext.broadcast(gaz)
+    spark.read.textFile(in).rdd.zipWithIndex()
+      .toDF("line", "sentId").as[(String, Long)]
+      .flatMap { case (line, sid) =>
+        val toks = line.trim.split("\\s+").filter(_.nonEmpty)
+        val rows = bGaz.value match {
+          case Some(g) =>
+            graft.features.LangFeatures.extractWithGaz(lang, toks, g)
+          case None => graft.features.LangFeatures.extract(lang, toks)
+        }
+        toks.indices.map(i => (sid, i, toks(i), rows(i)))
+      }
+      .toDF("sentId", "tokenIdx", "token", "features")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Cli <fit|train|tag|eval|kg> ...")
     val spark = session()
@@ -165,6 +191,23 @@ object Cli {
             .as[graft.core.SourceFile], authors)
           .write.mode("overwrite").partitionBy("pred").parquet(out)
         println(s"triples -> $out")
+      case "features" =>
+        val lang = arg(args, "--lang").getOrElse("eng")
+        require(graft.core.LangDict.langs.contains(lang),
+          s"unknown --lang $lang (expect one of " +
+            graft.core.LangDict.langs.mkString("/") + ")")
+        val out = req(args, "--out")
+        val gaz =
+          if (args.contains("--gaz"))
+            Some(graft.core.LangDict.loadGaz(
+              graft.core.LangDict.gazCsvRows(spark,
+                arg(args, "--gaz-csv")
+                  .getOrElse("/root/reference/utils/gaz.csv")))(lang))
+          else None
+        featuresFrame(spark, lang, req(args, "--in"), gaz)
+          .write.mode("overwrite").parquet(out)
+        println(s"features($lang${if (gaz.isDefined) "+gaz" else ""})" +
+          s" -> $out")
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()

@@ -63,4 +63,33 @@ class CliSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("missing required flag --out"))
   }
+
+  test("features mode: segnerfts parity rows over line-per-sentence " +
+      "text, 15-dim plain and 24-dim with gaz") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("clifeat")
+    val in = dir.resolve("deu.txt")
+    java.nio.file.Files.writeString(in,
+      "Vereinigten Arabischen Republik\nHerr Schwarzwald\n")
+    val plain = Cli.featuresFrame(spark, "deu", in.toString).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getSeq[Int](3)))
+      .sortBy(x => (x._1, x._2))
+    assert(plain.length == 5 && plain.forall(_._4.length == 15))
+    // README golden, through the CLI path
+    assert(plain(2)._3 == "Republik" &&
+      plain(2)._4 == Seq(1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0, 0))
+    assert(plain(3)._4(graft.features.Features.TITLE) == 1)   // Herr
+    assert(plain(4)._4(graft.features.Features.HEAD_LOC) == 1) // -wald
+    val gaz: graft.core.LangDict.Gaz = Map(
+      "GPE" -> Vector(Vector("Herr")), "LOC" -> Vector(),
+      "ORG" -> Vector(), "PER" -> Vector())
+    val withGaz =
+      Cli.featuresFrame(spark, "deu", in.toString, Some(gaz)).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](3)))
+        .sortBy(x => (x._1, x._2))
+    assert(withGaz.forall(_._3.length == 24))
+    assert(withGaz(3)._3(graft.features.Features.B_GAZ) == 1)
+    assert(withGaz(4)._3(graft.features.Features.O_GAZ) == 1)
+  }
 }
