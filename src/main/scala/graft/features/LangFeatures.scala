@@ -111,4 +111,25 @@ object LangFeatures {
       Array.tabulate(24)(f => (m >> f) & 1)
     }
   }
+
+  /** The reference's slice views (segnerfts.py:739-749, 766-781):
+    * TYPE = extractors 0-8, TOKEN = 9-14, GAZ = 15-23. */
+  def extractTypeLevel(lang: String, tokens: Array[String])
+      : Array[Array[Int]] =
+    tokens.map { w =>
+      val m = typeTokenBits(lang, w)
+      Array.tabulate(9)(f => (m >> f) & 1)
+    }
+
+  def extractTokenLevel(lang: String, tokens: Array[String])
+      : Array[Array[Int]] =
+    tokens.map { w =>
+      val m = typeTokenBits(lang, w)
+      Array.tabulate(6)(f => (m >> (TITLE + f)) & 1)
+    }
+
+  def extractGazFeatures(tokens: Array[String], gaz: LangDict.Gaz)
+      : Array[Array[Int]] =
+    gazBits(tokens, gaz).map(m =>
+      Array.tabulate(9)(f => (m >> (B_GAZ + f)) & 1))
 }

@@ -120,6 +120,23 @@ class LangFeaturesSpec extends AnyFunSuite {
     assert(g("eng")("GPE").isEmpty) // only tir/orm columns carry entries
   }
 
+  test("slice views match the composed extract (TYPE 0-8, TOKEN 9-14, GAZ 15-23)") {
+    val toks = "Herr Schwarzwald in Deutschland".split(' ')
+    val full = LangFeatures.extract("deu", toks)
+    val ty = LangFeatures.extractTypeLevel("deu", toks)
+    val tok = LangFeatures.extractTokenLevel("deu", toks)
+    toks.indices.foreach { i =>
+      assert(full(i).take(9).toSeq == ty(i).toSeq)
+      assert(full(i).drop(9).toSeq == tok(i).toSeq)
+    }
+    val gaz: LangDict.Gaz = Map("GPE" -> Vector(Vector("Deutschland")),
+      "LOC" -> Vector(), "ORG" -> Vector(), "PER" -> Vector())
+    val g = LangFeatures.extractGazFeatures(toks, gaz)
+    assert(g.forall(_.length == 9))
+    assert(g(3)(0) == 1 && g(3)(8) == 0) // B-GPE fired, not O
+    assert(g(0)(8) == 1)                 // Herr is O
+  }
+
   test("extractWithGaz composes 24-dim rows (extract_type_token_gaz)") {
     val gaz: LangDict.Gaz = Map("GPE" -> Vector(Vector("ኣዲስ", "ኣበባ")),
       "LOC" -> Vector(), "ORG" -> Vector(), "PER" -> Vector())
