@@ -59,6 +59,8 @@ object FitEval {
     // collapses the prefix rows per full bitstring into ONE summed
     // vector, so the FittedModel/artifact format is unchanged.
     val usePrefix = clusterBits.nonEmpty && prefixLens.nonEmpty
+    require(prefixLens.forall(_ > 0),
+      s"prefixLens must be positive bit depths, got $prefixLens")
     // distinct prefix VALUES only, keyed by the first length that
     // produces each — a short path must not fire at several lengths
     def prefixKeys(bits: String): Seq[String] = {
@@ -91,12 +93,21 @@ object FitEval {
       else if (clusters.isEmpty) 0
       else clusters.values.max + 1
     val stride = if (usePrefix) prefixLens.length else 1
+    // single source of truth for a bitstring's trained rows: the SAME
+    // prefixKeys expansion feeds training (via this map) and the
+    // serving-time collapse below — the two cannot drift
+    val bitsToRows: Map[String, Array[Int]] =
+      if (usePrefix)
+        clusterBits.values.toVector.distinct.map { b =>
+          b -> prefixKeys(b).map(k => V + S + 1 + rowIds(k)).toArray
+        }.toMap
+      else Map.empty
     val bV = spark.sparkContext.broadcast(vocab.zipWithIndex.toMap)
     val bS = spark.sparkContext.broadcast(rareShapes.zipWithIndex.toMap)
     val bC = spark.sparkContext.broadcast(clusters)
     val bBits = spark.sparkContext.broadcast(clusterBits)
-    val bRows = spark.sparkContext.broadcast(rowIds)
-    val bLens = spark.sparkContext.broadcast(prefixLens.toArray)
+    val bBitsRows = spark.sparkContext.broadcast(bitsToRows)
+    val strideB = stride
     val data = train.map { t =>
       val vmap = bV.value; val smap = bS.value; val cmap = bC.value
       val masks =
@@ -121,30 +132,20 @@ object FitEval {
           (vmap.contains(w2) || vmap.contains(w2.toLowerCase))
       val cids =
         if (usePrefix) {
-          val bmap = bBits.value; val rows = bRows.value
-          val lens = bLens.value
-          val out = Array.fill(t.words.length * lens.length)(-1)
+          val bmap = bBits.value; val rowsOf = bBitsRows.value
+          val out = Array.fill(t.words.length * strideB)(-1)
           var i = 0
           while (i < t.words.length) {
             val w2 = t.words(i)
             if (!gated(w2)) {
-              bmap.get(w2).orElse(bmap.get(w2.toLowerCase)).foreach {
-                bits =>
-                  // distinct prefixes only: a short path must not fire
-                  // the same row at several lengths
-                  var r = 0; var prev = ""
+              bmap.get(w2).orElse(bmap.get(w2.toLowerCase))
+                .flatMap(rowsOf.get).foreach { rows =>
                   var slot = 0
-                  while (r < lens.length) {
-                    val p = bits.take(lens(r))
-                    if (p != prev) {
-                      out(i * lens.length + slot) =
-                        V + S + 1 + rows(s"${lens(r)}:$p")
-                      slot += 1
-                    }
-                    prev = p
-                    r += 1
+                  while (slot < rows.length) {
+                    out(i * strideB + slot) = rows(slot)
+                    slot += 1
                   }
-              }
+                }
             }
             i += 1
           }
@@ -180,20 +181,21 @@ object FitEval {
     val (servedClusters, servedClusterW) =
       if (usePrefix) {
         // collapse: the serving-time cluster vector of a full bitstring
-        // is the SUM of its trained prefix rows — emit then adds one
-        // vector per token exactly as in the single-row form, so the
-        // artifact format doesn't change
-        val bitsVals = clusterBits.values.toVector.distinct.sorted
-        val denseId = bitsVals.zipWithIndex.toMap
-        val cw = bitsVals.map { b =>
+        // is the SUM of its trained prefix rows (same bitsToRows map
+        // the training closure used) — emit then adds one vector per
+        // token exactly as in the single-row form, so the artifact
+        // format doesn't change
+        val denseId =
+          graft.features.Brown.denseIdsByBits(clusterBits.values)
+        val cw = denseId.map { case (b, id) =>
           val v2 = new Array[Float](Dict.K)
-          prefixKeys(b).foreach { key =>
-            val row = wv(V + S + 1 + rowIds(key))
+          bitsToRows(b).foreach { rowId =>
+            val row = wv(rowId)
             var k = 0
             while (k < v2.length) { v2(k) += row(k); k += 1 }
           }
-          denseId(b) -> v2
-        }.toMap
+          id -> v2
+        }
         (gateServed(clusterBits.view.mapValues(denseId).toMap), cw)
       } else {
         (gateServed(clusters),
@@ -423,7 +425,7 @@ object FitEval {
       println(f"brown: $numC clusters over ${bits.size} words in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       val denseByBits = {
-        val vs = bits.values.toVector.distinct.sorted.zipWithIndex.toMap
+        val vs = graft.features.Brown.denseIdsByBits(bits.values)
         bits.view.mapValues(vs).toMap
       }
       val t1 = System.nanoTime()

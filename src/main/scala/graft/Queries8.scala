@@ -194,7 +194,8 @@ object Queries8 {
        |      CASE WHEN len(list_filter(string_split_regex(
        |          coalesce(eng, ''), '\\s+'), x -> x <> '')) = 1
        |        THEN 'GPE' ELSE NULL END
-       |    ELSE lab END AS label, v
+       |    WHEN lab IN ('GPE', 'LOC', 'ORG', 'PER') THEN lab
+       |    ELSE NULL END AS label, v
        |  FROM vars0),
        |entries AS (
        |  SELECT lang, label,
@@ -253,7 +254,8 @@ object Queries8 {
        |      CASE WHEN len(list_filter(string_split_regex(
        |          coalesce(eng, ''), '\\s+'), x -> x <> '')) = 1
        |        THEN 'GPE' ELSE NULL END
-       |    ELSE lab END AS label, v
+       |    WHEN lab IN ('GPE', 'LOC', 'ORG', 'PER') THEN lab
+       |    ELSE NULL END AS label, v
        |  FROM vars0),
        |entd AS (
        |  SELECT DISTINCT lang, label,

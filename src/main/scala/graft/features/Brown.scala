@@ -41,35 +41,37 @@ object Brown {
     * word, bigram triples by word id). Distributed counting, pruned
     * before collect. Bigrams touching a pruned word are dropped.
     *
-    * Driver-memory guard: the pruned row counts are checked BEFORE
-    * either collect — on a corpus whose post-prune vocab or bigram
-    * table exceeds `maxDriverRows`, the call fails with the knobs to
-    * raise (`minCount`/`minBigram`) instead of silently OOM-ing the
-    * driver. The guard pays one extra pass over each aggregate (not
-    * the corpus — the agg output is the thing counted), which is noise
-    * next to the exchange optimization itself. */
+    * Driver-memory guard: each collect is BOUNDED at
+    * `maxDriverRows + 1` rows (one `limit(...).collect()` — a single
+    * pass, no pre-count job); a post-prune vocab or bigram table that
+    * overflows the bound fails with the knobs to raise
+    * (`minCount`/`minBigram`) instead of silently OOM-ing the driver.
+    * The bound IS the driver-memory bound by definition — at most
+    * maxDriverRows + 1 rows ever materialize. */
   def corpusCounts(sentences: Dataset[Array[String]],
       minCount: Long = 1, minBigram: Long = 1,
       maxDriverRows: Long = 5000000L)
       : (Array[(String, Long)], Array[(Int, Int, Long)]) = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    def guard(df: Dataset[_], what: String, knob: String): Unit = {
-      val n = df.limit(
-        math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).count()
-      if (n > maxDriverRows) throw new IllegalStateException(
-        s"Brown.corpusCounts: pruned $what table exceeds " +
-          s"$maxDriverRows driver rows (> $n). Raise $knob (current " +
-          s"minCount=$minCount, minBigram=$minBigram) or " +
+    def boundedCollect[T](df: Dataset[T], what: String, knob: String)
+        : Array[T] = {
+      val bound = math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt
+      val rows = df.limit(bound).collect()
+      if (rows.length > maxDriverRows) throw new IllegalStateException(
+        s"Brown.corpusCounts: pruned $what table exceeds the " +
+          s"maxDriverRows=$maxDriverRows driver bound. Raise $knob " +
+          s"(current minCount=$minCount, minBigram=$minBigram) or " +
           s"maxDriverRows — counts, not text, must fit on the driver.")
+      rows
     }
     val uniDf = sentences.flatMap(ws => ws)
       .groupBy(col("value").as("word"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .as[(String, Long)]
-    guard(uniDf, "vocab", "minCount")
-    val uni = uniDf.collect().sortBy { case (w, n) => (-n, w) }
+    val uni = boundedCollect(uniDf, "vocab", "minCount")
+      .sortBy { case (w, n) => (-n, w) }
     val id = uni.iterator.map(_._1).zipWithIndex.toMap
     val bId = spark.sparkContext.broadcast(id)
     val bigDf = sentences.flatMap { ws =>
@@ -81,8 +83,7 @@ object Brown {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minBigram)
       .as[(Int, Int, Long)]
-    guard(bigDf, "bigram", "minBigram")
-    val big = bigDf.collect()
+    val big = boundedCollect(bigDf, "bigram", "minBigram")
     bId.destroy()
     (uni, big)
   }
@@ -291,7 +292,14 @@ object Brown {
   def clusterMapByBits(tsv: DataFrame): Map[String, Int] = {
     val rows = tsv.select("bits", "word").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    val ids = rows.map(_._1).distinct.sorted.zipWithIndex.toMap
+    val ids = denseIdsByBits(rows.map(_._1))
     rows.map { case (bits, w) => w -> ids(bits) }.toMap
   }
+
+  /** THE bitstring densification (dense rank over sorted distinct
+    * bits) — single definition shared by [[clusterMapByBits]] and the
+    * prefix-feature paths in [[graft.FitEval]], so the distinctness
+    * rule ('010' ≠ '10') can never drift between them. */
+  def denseIdsByBits(bits: Iterable[String]): Map[String, Int] =
+    bits.toVector.distinct.sorted.zipWithIndex.toMap
 }

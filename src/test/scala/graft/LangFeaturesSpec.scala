@@ -111,6 +111,7 @@ class LangFeaturesSpec extends AnyFunSuite {
       ("Addis Ababa", "GPE", "ኣዲስ ኣበባ", "Finfinnee; Finfinne"),
       ("Oromia", "", "", "Oromiyaa"),        // unlabeled 1-token eng -> GPE
       ("Grand Hotel", "", "ሆቴል", "Hoteela"), // unlabeled multi-token -> drop
+      ("Airport", "FAC", "ኤርፖርት", "Buufata"), // unknown label -> drop
       ("Nile", "LOC", "ኒል", "")))
     assert(g("tir")("GPE") == Vector(Vector("ኣዲስ", "ኣበባ")))
     assert(g("orm")("GPE") ==
@@ -118,6 +119,11 @@ class LangFeaturesSpec extends AnyFunSuite {
     assert(g("orm")("LOC").isEmpty && g("tir")("LOC") == Vector(Vector("ኒል")))
     assert(g("tir")("ORG").isEmpty && g("orm")("ORG").isEmpty)
     assert(g("eng")("GPE").isEmpty) // only tir/orm columns carry entries
+    // labels outside GPE/LOC/ORG/PER are dropped entirely (the gaz
+    // template has no bucket for them) — the q64/q65 oracles mirror
+    // this with an explicit IN-list
+    assert(!g("tir").values.flatten.exists(_.contains("ኤርፖርት")))
+    assert(!g("orm").values.flatten.exists(_.contains("Buufata")))
   }
 
   test("slice views match the composed extract (TYPE 0-8, TOKEN 9-14, GAZ 15-23)") {
