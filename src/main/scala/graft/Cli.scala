@@ -192,7 +192,9 @@ object Cli {
           .write.mode("overwrite").partitionBy("pred").parquet(out)
         println(s"triples -> $out")
       case "features" =>
-        val lang = arg(args, "--lang").getOrElse("eng")
+        // required, not defaulted: a mistyped flag must fail loudly
+        // instead of silently emitting English features (ADVICE r4)
+        val lang = req(args, "--lang")
         require(graft.core.LangDict.langs.contains(lang),
           s"unknown --lang $lang (expect one of " +
             graft.core.LangDict.langs.mkString("/") + ")")
@@ -200,7 +202,7 @@ object Cli {
         val gaz =
           if (args.contains("--gaz"))
             Some(graft.core.LangDict.loadGaz(
-              graft.core.LangDict.gazCsvRows(spark,
+              graft.core.LangDict.gazCsvRows(
                 arg(args, "--gaz-csv")
                   .getOrElse("/root/reference/utils/gaz.csv")))(lang))
           else None

@@ -129,7 +129,8 @@ object FitEval {
       // lowercase word row, so its cluster row must not also train.
       def gated(w2: String): Boolean =
         !clustersForAll &&
-          (vmap.contains(w2) || vmap.contains(w2.toLowerCase))
+          (vmap.contains(w2) ||
+            vmap.contains(w2.toLowerCase(java.util.Locale.ROOT)))
       val cids =
         if (usePrefix) {
           val bmap = bBits.value; val rowsOf = bBitsRows.value
@@ -138,7 +139,8 @@ object FitEval {
           while (i < t.words.length) {
             val w2 = t.words(i)
             if (!gated(w2)) {
-              bmap.get(w2).orElse(bmap.get(w2.toLowerCase))
+              bmap.get(w2)
+                .orElse(bmap.get(w2.toLowerCase(java.util.Locale.ROOT)))
                 .flatMap(rowsOf.get).foreach { rows =>
                   var slot = 0
                   while (slot < rows.length) {
@@ -154,7 +156,7 @@ object FitEval {
         else Array.tabulate(t.words.length) { i =>
           if (gated(t.words(i))) -1
           else cmap.get(t.words(i))
-            .orElse(cmap.get(t.words(i).toLowerCase))
+            .orElse(cmap.get(t.words(i).toLowerCase(java.util.Locale.ROOT)))
             .map(V + S + 1 + _).getOrElse(-1)
         }
       graft.crf.CrfTrainer.WordSentence(masks, ids, t.tags, cids, stride)
@@ -176,7 +178,8 @@ object FitEval {
     def gateServed(m: Map[String, Int]): Map[String, Int] =
       if (clustersForAll) m
       else m.filter { case (w2, _) =>
-        !vocabSet.contains(w2) && !vocabSet.contains(w2.toLowerCase)
+        !vocabSet.contains(w2) &&
+          !vocabSet.contains(w2.toLowerCase(java.util.Locale.ROOT))
       }
     val (servedClusters, servedClusterW) =
       if (usePrefix) {

@@ -18,7 +18,7 @@ object Queries2 {
   /** The code-vocabulary stratum of the dictionary, as rows. */
   private val dictRows: Seq[(String, String)] = Dict.gazetteer
     .collect { case (toks, label)
-      if toks.forall(t => t == t.toLowerCase) =>
+      if toks.forall(t => t == t.toLowerCase(java.util.Locale.ROOT)) =>
       (toks.mkString(" "), label)
     }
 

@@ -37,7 +37,7 @@ object Queries7 {
     * the same data [[Dict.gazIndex]] serves the decode kernel. */
   private val gazRows: Seq[(String, String, Int)] =
     Dict.gazetteer.zipWithIndex.map { case ((toks, l), id) =>
-      (toks.map(_.toLowerCase).mkString(" "), l, id)
+      (toks.map(_.toLowerCase(java.util.Locale.ROOT)).mkString(" "), l, id)
     }
 
   private def gazValuesSql: String = gazRows

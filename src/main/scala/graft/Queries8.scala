@@ -107,7 +107,7 @@ object Queries8 {
     * segnerfts.py:20-22 (the `'; '`→`';'` then `';'` split). */
   private def gazVariants(s: SparkSession): Seq[(String, String)] =
     for {
-      (_, _, t, o) <- LangDict.gazCsvRows(s)
+      (_, _, t, o) <- LangDict.gazCsvRows()
       (lang, raw) <- Seq(("tir", t), ("orm", o))
       if raw != null && raw.nonEmpty
       v <- raw.replace("; ", ";").split(';').toSeq
@@ -174,7 +174,7 @@ object Queries8 {
 
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = LangDict.loadGaz(LangDict.gazCsvRows(s))
+    val g = LangDict.loadGaz(LangDict.gazCsvRows())
     val rows = for {
       lang <- Seq("tir", "orm")
       (label, entries) <- g(lang).toSeq
@@ -215,7 +215,7 @@ object Queries8 {
     * PLUS any cross-entry matches the full sliding scan finds. */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = LangDict.loadGaz(LangDict.gazCsvRows(s))
+    val g = LangDict.loadGaz(LangDict.gazCsvRows())
     val sents = Seq("tir", "orm").flatMap { lang =>
       val (pre, post) =
         if (lang == "tir") ("ካብ", "ወዘተ") else ("irraa", "obbo")

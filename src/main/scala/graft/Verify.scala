@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional extra args: run only these query names (local iteration;
-    // the driver always passes exactly two args)
+    // the driver always passes exactly two args). Unknown names fail
+    // fast — a typo must not read as a green empty run (ADVICE r4).
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

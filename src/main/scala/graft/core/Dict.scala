@@ -131,7 +131,9 @@ object Dict {
     * sequences"; reference sliding match segnerfts.py:55-85). */
   lazy val gazIndex: Map[String, Vector[(Vector[String], String, Int)]] =
     gazetteer.zipWithIndex
-      .map { case ((toks, l), id) => (toks.map(_.toLowerCase), l, id) }
+      .map { case ((toks, l), id) =>
+        (toks.map(_.toLowerCase(java.util.Locale.ROOT)), l, id)
+      }
       .groupBy(_._1.head)
       .view.mapValues(_.sortBy(e => (-e._1.length, e._3)).toVector)
       .toMap
@@ -139,7 +141,9 @@ object Dict {
   /** Span→label lookup table for post-process fix-up
     * (post_process.py:58-69), ambiguity already removed (50-55). */
   val lookupTable: Map[String, String] =
-    gazetteer.map { case (toks, l) => toks.mkString(" ").toLowerCase -> l }
+    gazetteer.map { case (toks, l) =>
+      toks.mkString(" ").toLowerCase(java.util.Locale.ROOT) -> l
+    }
       .groupBy(_._1).collect { case (k, vs) if vs.map(_._2).distinct.size == 1 => k -> vs.head._2 }
 
   /** lookupTable re-indexed by first token for the span-insertion

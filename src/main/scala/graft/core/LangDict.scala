@@ -28,7 +28,8 @@ object LangDict {
     * `w in {...}` vs `w.lower() in {...}`). */
   final case class WordSet(words: Set[String], lowercase: Boolean) {
     def apply(w: String): Boolean =
-      if (lowercase) words.contains(w.toLowerCase) else words.contains(w)
+      if (lowercase) words.contains(w.toLowerCase(java.util.Locale.ROOT))
+      else words.contains(w)
   }
   private def exact(ws: String*) = WordSet(ws.toSet, lowercase = false)
   private def lower(ws: String*) = WordSet(ws.toSet, lowercase = true)
@@ -174,21 +175,24 @@ object LangDict {
   /** amh prepositions are PREFIX matches (`re.match('ከ', w)`); tir/som
     * compare the exact surface; eng/deu/orm compare lowercased. */
   def isPrepFrom(lang: String, w: String): Boolean = lang match {
-    case "eng" => w.toLowerCase == "from"
-    case "deu" => val l = w.toLowerCase; l == "von" || l == "vom"
+    case "eng" => w.toLowerCase(java.util.Locale.ROOT) == "from"
+    case "deu" =>
+      val l = w.toLowerCase(java.util.Locale.ROOT); l == "von" || l == "vom"
     case "amh" => w.startsWith("ከ")
-    case "orm" => val l = w.toLowerCase; l == "irraa" || l == "ira"
+    case "orm" =>
+      val l = w.toLowerCase(java.util.Locale.ROOT); l == "irraa" || l == "ira"
     case "tir" => w == "ካብ"
     case "som" => w == "ilaa"
     case _ => false
   }
 
   def isPrepIn(lang: String, w: String): Boolean = lang match {
-    case "eng" => w.toLowerCase == "in"
-    case "deu" => val l = w.toLowerCase; l == "in" || l == "im"
+    case "eng" => w.toLowerCase(java.util.Locale.ROOT) == "in"
+    case "deu" =>
+      val l = w.toLowerCase(java.util.Locale.ROOT); l == "in" || l == "im"
     case "amh" => w.startsWith("በ")
     case "orm" =>
-      val l = w.toLowerCase
+      val l = w.toLowerCase(java.util.Locale.ROOT)
       l == "keessa" || l == "kesa" || l == "itti" || l == "iti"
     case "tir" => w == "ኣብ"
     case "som" => w == "ee"
@@ -231,18 +235,62 @@ object LangDict {
       "amh" -> empty, "eng" -> empty, "deu" -> empty, "som" -> empty)
   }
 
+  /** Strict RFC-4180 record split: comma delimiter, `"`-quoted fields
+    * with doubled-quote escapes, embedded delimiters/newlines legal
+    * inside quotes — the exact dialect of the reference's `csv.reader`
+    * defaults (doublequote=True, no escapechar) and of DuckDB's
+    * `read_csv`, so the engine, the oracle and the reference can never
+    * desynchronize on a future gaz.csv row with embedded quotes
+    * (ADVICE r4: Spark's CSV reader defaults to backslash-escape). */
+  private[graft] def parseCsv(text: String): Vector[Vector[String]] = {
+    val records = Vector.newBuilder[Vector[String]]
+    var fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var sawAny = false
+    var i = 0
+    val n = text.length
+    def endField(): Unit = { fields += cur.toString; cur.clear() }
+    def endRecord(): Unit = {
+      endField(); records += fields.result(); fields = Vector.newBuilder
+      sawAny = false
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < n && text.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1
+          } else inQuotes = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQuotes = true; sawAny = true
+        case ',' => endField(); sawAny = true
+        case '\r' =>
+          if (i + 1 < n && text.charAt(i + 1) == '\n') i += 1
+          endRecord()
+        case '\n' => endRecord()
+        case other => cur.append(other); sawAny = true
+      }
+      i += 1
+    }
+    if (sawAny || cur.nonEmpty) endRecord()
+    records.result()
+  }
+
   /** The in-tree gaz.csv as loader input rows (English, Label,
-    * Tigrinya, Oromo — columns 0,1,2,4 of utils/gaz.csv). */
-  def gazCsvRows(spark: org.apache.spark.sql.SparkSession,
-      path: String = "/root/reference/utils/gaz.csv")
+    * Tigrinya, Oromo — columns 0,1,2,4 of utils/gaz.csv), header row
+    * skipped. Empty cells surface as "" (the loader's null/empty
+    * checks treat both alike). Driver-side plain-file read: the file
+    * is a 1.3k-row dimension table. */
+  def gazCsvRows(path: String = "/root/reference/utils/gaz.csv")
       : Seq[(String, String, String, String)] = {
-    val df = spark.read.option("header", "true").csv(path)
-    val cols = df.columns
-    df.selectExpr(s"`${cols(0)}`", s"`${cols(1)}`", s"`${cols(2)}`",
-      s"`${cols(4)}`")
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3)))
-      .toSeq
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def cell(r: Vector[String], i: Int): String =
+      if (i < r.length) r(i) else ""
+    parseCsv(text).drop(1)
+      .map(r => (cell(r, 0), cell(r, 1), cell(r, 2), cell(r, 4)))
   }
 }

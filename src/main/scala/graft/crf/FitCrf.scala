@@ -306,7 +306,8 @@ object FitCrf {
         cs - arr(t), math.max(rareN - c.rareTag(t), 0L), k))
     }.toMap
     val served = clusters.filter { case (w, _) =>
-      !m.wordW.contains(w) && !m.wordW.contains(w.toLowerCase)
+      !m.wordW.contains(w) &&
+        !m.wordW.contains(w.toLowerCase(java.util.Locale.ROOT))
     }
     m.copy(clusters = served, clusterW = clusterW)
   }
@@ -319,7 +320,7 @@ object FitCrf {
     * log-odds. */
   def emit(word: String, mask: Int, m: FittedModel): Array[Float] = {
     val base = m.wordW.getOrElse(word,
-      m.wordW.getOrElse(word.toLowerCase,
+      m.wordW.getOrElse(word.toLowerCase(java.util.Locale.ROOT),
         m.shapeW.getOrElse(shapeOf(mask), m.shapeDefault)))
     // Brown-cluster term (same exact-then-lowercase policy as words);
     // null when the model carries no clusters or the word none
@@ -327,7 +328,7 @@ object FitCrf {
       if (m.clusters.isEmpty) null
       else {
         val cid = m.clusters.get(word)
-          .orElse(m.clusters.get(word.toLowerCase))
+          .orElse(m.clusters.get(word.toLowerCase(java.util.Locale.ROOT)))
         cid.flatMap(m.clusterW.get).orNull
       }
     val out = new Array[Float](K)

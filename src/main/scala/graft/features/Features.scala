@@ -69,7 +69,7 @@ object Features {
     if (Dict.orgHeads.contains(w)) m |= 1 << HEAD_ORG
     if (Dict.locHeads.contains(w)) m |= 1 << HEAD_LOC
     if (Dict.gpeHeads.contains(w)) m |= 1 << HEAD_GPE
-    val lw = w.toLowerCase
+    val lw = w.toLowerCase(java.util.Locale.ROOT)
     if (lw == "from") m |= 1 << PREP_FROM
     if (lw == "in") m |= 1 << PREP_IN
     m
@@ -88,7 +88,7 @@ object Features {
     val lower = new Array[String](n)
     var i = 0
     while (i < n) { masks(i) = tokenBits(tokens(i))
-      lower(i) = tokens(i).toLowerCase; i += 1 }
+      lower(i) = tokens(i).toLowerCase(java.util.Locale.ROOT); i += 1 }
     val covered = new Array[Boolean](n)
     i = 0
     while (i < n) {

@@ -47,7 +47,7 @@ object Morph {
   final class SuffixStubAnalyzer(table: Seq[(String, String)])
       extends Analyzer {
     override def parses(token: String): Seq[String] = {
-      val lower = token.toLowerCase
+      val lower = token.toLowerCase(java.util.Locale.ROOT)
       table.collect {
         case (suf, gloss) if lower.length > suf.length &&
             lower.endsWith(suf) =>
@@ -72,7 +72,8 @@ object Morph {
     * utils/orm_norm/ormnorm.py:6-15) — the reference analyzer parses
     * `normalize(word)` (segnerfts/orm_morph.py:289). */
   def ormNormalizeString(w: String): String =
-    graft.conll.ConllOps.ormPatterns.foldLeft(w.toLowerCase) {
+    graft.conll.ConllOps.ormPatterns
+      .foldLeft(w.toLowerCase(java.util.Locale.ROOT)) {
       case (acc, (p, r)) => acc.replaceAll(p, r)
     }
 

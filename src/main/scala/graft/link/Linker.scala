@@ -104,7 +104,7 @@ object Linker {
     mentions.mapPartitions { it =>
       val idx = bIdx.value
       it.map { m =>
-        val toks = m.text.toLowerCase.split(' ')
+        val toks = m.text.toLowerCase(java.util.Locale.ROOT).split(' ')
         val cands = idx.getOrElse(toks(0), Vector.empty)
         var bestScore = -1.0
         var bestId = -1

@@ -60,7 +60,7 @@ object PostProcess {
         }
         val fixed =
           if (genre == "DF" && auth.contains(m.text)) Some("PER")
-          else lookup.get(m.text.toLowerCase)
+          else lookup.get(m.text.toLowerCase(java.util.Locale.ROOT))
         fixed match {
           case Some(tag) if tag != m.tag => m.copy(tag = tag)
           case _ => m
@@ -182,7 +182,7 @@ object PostProcess {
       // per token — allocation-bound: profiled as the pipeline's top
       // CPU sink at 32 threads.)
       val idx = bIdx.value
-      val lower = s.tokens.map(_.toLowerCase)
+      val lower = s.tokens.map(_.toLowerCase(java.util.Locale.ROOT))
       val out = Vector.newBuilder[(String, String, Cand)]
       var i = 0
       while (i < lower.length) {
