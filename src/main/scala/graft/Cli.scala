@@ -180,6 +180,12 @@ object Cli {
       case "kg" =>
         val corpus = req(args, "--corpus")
         val out = req(args, "--out")
+        // decode language (reference test_1 is language-generic);
+        // defaults to eng, which keeps the historical behavior
+        val lang = arg(args, "--lang").getOrElse("eng")
+        require(graft.core.LangDict.langs.contains(lang),
+          s"unknown --lang $lang (expect one of " +
+            graft.core.LangDict.langs.mkString("/") + ")")
         // optional WL-XML author dir → lookupFixup's DF-genre
         // author→PER precedence (extract_authors.py input)
         val authors = arg(args, "--authors")
@@ -188,9 +194,9 @@ object Cli {
         import spark.implicits._
         graft.pipeline.Pipeline.triples(
           graft.core.Corpus.fromDocuments(spark, corpus)
-            .as[graft.core.SourceFile], authors)
+            .as[graft.core.SourceFile], authors, lang)
           .write.mode("overwrite").partitionBy("pred").parquet(out)
-        println(s"triples -> $out")
+        println(s"triples($lang) -> $out")
       case "features" =>
         // required, not defaulted: a mistyped flag must fail loudly
         // instead of silently emitting English features (ADVICE r4)

@@ -213,10 +213,12 @@ object Queries8 {
     * preposition, the entry tokens, a language-specific title word —
     * so every sentence exercises B at 2, I at 3.., O at the edges,
     * PLUS any cross-entry matches the full sliding scan finds. */
-  private def q65(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val g = LangDict.loadGaz(LangDict.gazCsvRows())
-    val sents = Seq("tir", "orm").flatMap { lang =>
+  /** The q65/q66 sentence grid: one framed sentence per distinct gaz
+    * entry string, sid = row_number over (lang, entry) — the exact
+    * order the oracle's `sents` CTE derives. */
+  private[graft] def langSents(g: Map[String, LangDict.Gaz])
+      : Seq[(String, Int, Array[String])] =
+    Seq("tir", "orm").flatMap { lang =>
       val (pre, post) =
         if (lang == "tir") ("ካብ", "ወዘተ") else ("irraa", "obbo")
       g(lang).values.flatten.toVector.distinct
@@ -224,6 +226,11 @@ object Queries8 {
     }.sortBy { case (lang, entry, _) => (lang, entry) }
       .zipWithIndex
       .map { case ((lang, _, toks), i) => (lang, i + 1, toks.toArray) }
+
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = LangDict.loadGaz(LangDict.gazCsvRows())
+    val sents = langSents(g)
     val bg = s.sparkContext.broadcast(g)
     val bs = s.sparkContext.broadcast(sents)
     val rows = s.range(sents.size.toLong).as[Long].flatMap { i =>
@@ -322,13 +329,121 @@ object Queries8 {
        |LEFT JOIN cover c ON c.sid = t.sid AND c.pos = t.pos
        |ORDER BY lang, sent_id, pos""".stripMargin
 
+  // ---- q66: per-language KG decode, hash-checked (r4 verdict #1) ------
+
+  /** The REAL language-routed pipeline kernel
+    * ([[graft.pipeline.Pipeline.mentions]](files, lang):
+    * per-language features + reference gaz + [[graft.crf.LangModel]]
+    * fitted model + Viterbi + span extraction) over the q65 sentence
+    * grid as a corpus, restricted to overlap-free sentences — where
+    * the gaz-dominant fit provably decodes to dictionary matching
+    * (the q55 enabler, generalized per language; LangModelSpec checks
+    * the property corpus-wide). The oracle recomputes corpus, sliding
+    * matches, eligibility and char offsets relationally in DuckDB. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = LangDict.loadGaz(LangDict.gazCsvRows())
+    val sents = langSents(g)
+    // distinct (pos, len, label) sliding matches, independent of the
+    // decode kernel — the eligibility side of the subset pin
+    def matchesOf(lang: String, toks: Array[String])
+        : Set[(Int, Int, String)] =
+      (for {
+        label <- graft.core.Dict.entityTypes
+        entry <- g(lang).getOrElse(label, Vector.empty).distinct
+        i <- 0 to toks.length - entry.length
+        if toks.slice(i, i + entry.length).sameElements(entry)
+      } yield (i, entry.length, label)).toSet
+    def overlapFree(ms: Set[(Int, Int, String)]): Boolean =
+      ms.toSeq.combinations(2).forall { case Seq(a, b) =>
+        a._1 + a._2 <= b._1 || b._1 + b._2 <= a._1
+      }
+    val eligible = sents
+      .filter { case (lang, _, toks) => overlapFree(matchesOf(lang, toks)) }
+    val sidOf = eligible.map { case (lang, sid, _) =>
+      f"$lang/$sid%05d.txt" -> sid
+    }.toMap
+    val perLang = Seq("tir", "orm").map { lang =>
+      val files = eligible.collect { case (`lang`, sid, toks) =>
+        graft.core.SourceFile(lang, f"$lang/$sid%05d.txt", "c0", lang,
+          toks.mkString(" "))
+      }.toDS()
+      graft.pipeline.Pipeline.mentions(files, lang).toDF()
+    }
+    val bSid = s.sparkContext.broadcast(sidOf)
+    perLang.reduce(_ unionByName _)
+      .select(col("repo").as("lang"), col("path"), col("start"),
+        col("end"), col("text"), col("tag"))
+      .as[(String, String, Int, Int, String, String)]
+      .map { case (lang, path, st, en, text, tag) =>
+        (lang, bSid.value(path), st, en, text, tag)
+      }
+      .toDF("lang", "sid", "start", "end", "text", "tag")
+      .orderBy("lang", "sid", "start", "end", "tag")
+  }
+
+  private def o66: String =
+    s"""WITH $oGazVars,
+       |labeled AS (
+       |  SELECT lang,
+       |    CASE WHEN lab IS NULL OR lab = '' THEN
+       |      CASE WHEN len(list_filter(string_split_regex(
+       |          coalesce(eng, ''), '\\s+'), x -> x <> '')) = 1
+       |        THEN 'GPE' ELSE NULL END
+       |    WHEN lab IN ('GPE', 'LOC', 'ORG', 'PER') THEN lab
+       |    ELSE NULL END AS label, v
+       |  FROM vars0),
+       |entd AS (
+       |  SELECT DISTINCT lang, label,
+       |    list_filter(string_split_regex(v, '\\s+'), x -> x <> '') AS etoks
+       |  FROM labeled WHERE label IS NOT NULL AND
+       |    len(list_filter(string_split_regex(v, '\\s+'), x -> x <> '')) > 0),
+       |sentbase AS (
+       |  SELECT DISTINCT lang, array_to_string(etoks, ' ') AS entry, etoks
+       |  FROM entd),
+       |sents AS (
+       |  SELECT lang,
+       |    CAST(row_number() OVER (ORDER BY lang, entry) AS INT) AS sid,
+       |    CASE WHEN lang = 'tir' THEN ['ካብ'] || etoks || ['ወዘተ']
+       |         ELSE ['irraa'] || etoks || ['obbo'] END AS toks
+       |  FROM sentbase),
+       |positions AS (
+       |  SELECT lang, sid, toks,
+       |    unnest(generate_series(1, len(toks))) AS j
+       |  FROM sents),
+       |matches AS (
+       |  SELECT DISTINCT p.lang, p.sid, p.toks, p.j, len(e.etoks) AS elen,
+       |    e.label
+       |  FROM positions p JOIN entd e ON e.lang = p.lang
+       |  WHERE p.j + len(e.etoks) - 1 <= len(p.toks)
+       |    AND p.toks[p.j : p.j + len(e.etoks) - 1] = e.etoks),
+       |bad AS (
+       |  SELECT DISTINCT a.sid FROM matches a JOIN matches b
+       |    ON a.sid = b.sid
+       |    AND NOT (a.j = b.j AND a.elen = b.elen AND a.label = b.label)
+       |    AND a.j < b.j + b.elen AND b.j < a.j + a.elen),
+       |em AS (
+       |  SELECT lang, sid, toks, j, elen, label,
+       |    CASE WHEN j = 1 THEN 0
+       |      ELSE length(array_to_string(toks[1:j-1], ' ')) + 1
+       |    END AS cstart,
+       |    array_to_string(toks[j:j+elen-1], ' ') AS mtext
+       |  FROM matches WHERE sid NOT IN (SELECT sid FROM bad))
+       |SELECT lang, sid, CAST(cstart AS INT) AS start,
+       |  CAST(cstart + length(mtext) AS INT) AS "end",
+       |  mtext AS text, label AS tag
+       |FROM em
+       |ORDER BY lang, sid, start, "end", tag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_lang_features" -> (q63 _),
     "q64_ref_gaz_load" -> (q64 _),
-    "q65_lang_gaz_bio" -> (q65 _))
+    "q65_lang_gaz_bio" -> (q65 _),
+    "q66_lang_decode" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
     "q63_lang_features" -> o63,
     "q64_ref_gaz_load" -> o64,
-    "q65_lang_gaz_bio" -> o65)
+    "q65_lang_gaz_bio" -> o65,
+    "q66_lang_decode" -> o66)
 }

@@ -52,14 +52,50 @@ object Pipeline {
     }
   }
 
+  /** Language-routed decode — the reference's `test_1` is language-
+    * generic (main.py:485-565 via `args.lang`; feature dispatch
+    * utils/features.py:5-13), so the pipeline must be too. `eng`
+    * routes to the default fused kernel above (bit-identical —
+    * PipelineSpec pins it); any other language decodes with its
+    * [[graft.features.LangFeatures]] per-language features, its
+    * gazetteer (reference gaz.csv by default) and its
+    * [[graft.crf.LangModel]] fitted model, in the same fully-fused
+    * narrow mapPartitions shape (broadcast model + gaz, no shuffle). */
+  def mentions(files: Dataset[SourceFile], lang: String,
+      gaz: Option[graft.core.LangDict.Gaz] = None): Dataset[Mention] =
+    if (lang == "eng" && gaz.isEmpty) mentions(files)
+    else {
+      val spark = files.sparkSession
+      import spark.implicits._
+      val g = gaz.getOrElse(graft.crf.LangModel.gazFor(lang))
+      val model =
+        if (gaz.isEmpty) graft.crf.LangModel.fitted(lang)
+        else graft.crf.LangModel.fit(lang, g)
+      val bM = spark.sparkContext.broadcast(model)
+      val bG = spark.sparkContext.broadcast(g)
+      files.mapPartitions { it =>
+        val m = bM.value; val g0 = bG.value
+        it.flatMap { f =>
+          Segmenter.segment(f.content).iterator.flatMap {
+            case (i, toks, ss, es) =>
+              Spans.extract(graft.crf.LangModel.decodeSentence(
+                graft.core.Sentence(f.repo, f.path, i, toks, ss, es),
+                lang, g0, m))
+          }
+        }
+      }
+    }
+
   def postProcessed(files: Dataset[SourceFile],
-      authors: Set[String] = Set.empty): Dataset[Mention] =
-    PostProcess(Segmenter.sentences(files), mentions(files),
+      authors: Set[String] = Set.empty,
+      lang: String = "eng"): Dataset[Mention] =
+    PostProcess(Segmenter.sentences(files), mentions(files, lang),
       authors = authors)
 
   def triples(files: Dataset[SourceFile],
-      authors: Set[String] = Set.empty): DataFrame =
-    Triples.materialize(Linker.link(postProcessed(files, authors)))
+      authors: Set[String] = Set.empty,
+      lang: String = "eng"): DataFrame =
+    Triples.materialize(Linker.link(postProcessed(files, authors, lang)))
 
   /** Author set for [[PostProcess.lookupFixup]]'s DF-genre precedence
     * branch, from a directory of WL XML files (the reference's

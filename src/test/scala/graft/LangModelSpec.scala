@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.{Corpus, Dict, LangDict, SourceFile}
+import graft.crf.LangModel
+import graft.pipeline.Pipeline
+
+/** Gates for the language-routed decode (r4 verdict #1): eng routing
+  * is bit-identical to the historical kernel, and the per-language
+  * fitted dictionary models decode exactly like dictionary matching on
+  * documents whose gaz matches do not overlap — the q66 oracle's
+  * enabler, checked here corpus-wide for tir AND orm over the real
+  * reference gazetteer. */
+class LangModelSpec extends SparkTestBase {
+
+  test("eng routing is bit-identical to the default kernel") {
+    val s = spark
+    import s.implicits._
+    val files = Corpus.synthesize(spark, 80)
+    val a = Pipeline.mentions(files).collect().toSet
+    val b = Pipeline.mentions(files, "eng").collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("fit is deterministic (pure function of the word lists)") {
+    val m1 = LangModel.fit("tir", LangModel.gazFor("tir"))
+    val m2 = LangModel.fit("tir", LangModel.gazFor("tir"))
+    assert(m1.emissions.map(_.toSeq).toSeq ==
+      m2.emissions.map(_.toSeq).toSeq)
+    assert(m1.transitions.map(_.toSeq).toSeq ==
+      m2.transitions.map(_.toSeq).toSeq)
+  }
+
+  /** All sliding-window gaz matches of a token array: (pos, len,
+    * label). Independent of the decode kernel and of
+    * LangFeatures.gazBits — a direct scan. */
+  private def slidingMatches(toks: Array[String], gaz: LangDict.Gaz)
+      : Seq[(Int, Int, String)] =
+    for {
+      label <- Dict.entityTypes
+      entry <- gaz.getOrElse(label, Vector.empty).distinct
+      i <- 0 to toks.length - entry.length
+      if toks.slice(i, i + entry.length).sameElements(entry)
+    } yield (i, entry.length, label)
+
+  private def overlapFree(ms: Seq[(Int, Int, String)]): Boolean =
+    ms.combinations(2).forall { case Seq(a, b) =>
+      a._1 + a._2 <= b._1 || b._1 + b._2 <= a._1
+    }
+
+  for (lang <- Seq("tir", "orm"))
+    test(s"$lang decode == dictionary matching on overlap-free " +
+        "sentences (full reference gaz)") {
+      val s = spark
+      import s.implicits._
+      val gaz = LangModel.gazFor(lang)
+      val entries = LangModel.orderedEntries(gaz)
+      val pool = LangModel.fillerPool(lang, gaz)
+      // serve-shaped corpus: framed entry sentences, like q66/q65
+      val sents = entries.zipWithIndex.map { case ((_, e), i) =>
+        (pool(i % pool.size) +: e :+ pool((i + 1) % pool.size)).toArray
+      }
+      val eligible = sents.filter(t =>
+        overlapFree(slidingMatches(t, gaz)))
+      assert(eligible.size > entries.size / 2,
+        s"eligibility filter too aggressive: ${eligible.size}")
+      val files = eligible.zipWithIndex.map { case (toks, i) =>
+        SourceFile(lang, f"$lang/$i%05d.txt", "c0", lang,
+          toks.mkString(" "))
+      }
+      val got = Pipeline.mentions(files.toDS(), lang)
+        .collect()
+        .map(m => (m.path, m.start, m.end, m.tag))
+        .toSet
+      val want = (for {
+        (toks, i) <- eligible.zipWithIndex
+        (pos, len, label) <- slidingMatches(toks, gaz)
+      } yield {
+        val start =
+          if (pos == 0) 0
+          else toks.take(pos).map(_.length).sum + pos
+        val text = toks.slice(pos, pos + len).mkString(" ")
+        (f"$lang/$i%05d.txt", start, start + text.length, label)
+      }).toSet
+      assert(got == want,
+        s"decode≠dictionary: extra=${(got -- want).take(5)} " +
+          s"missing=${(want -- got).take(5)}")
+      assert(want.nonEmpty)
+    }
+}
