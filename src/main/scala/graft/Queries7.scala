@@ -129,10 +129,10 @@ object Queries7 {
     s.table(view)
   }
 
-  private def eligV(s: SparkSession, dir: String): DataFrame =
+  private[graft] def eligV(s: SparkSession, dir: String): DataFrame =
     sharedView(s, dir, "elig")(eligibleDocs(s, dir))
 
-  private def sentsV(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sentsV(s: SparkSession, dir: String): DataFrame =
     sharedView(s, dir, "sents") {
       import s.implicits._
       Segmenter.sentences(Corpus.fromDocuments(s, dir).as[SourceFile])
@@ -160,7 +160,7 @@ object Queries7 {
 
   /** Shared oracle CTE: matches + eligibility + repo/path, mirroring
     * [[matches]]/[[eligibleDocs]] term for term. */
-  private def oracleCte: String =
+  private[graft] def oracleCte: String =
     s"""gaz(entry, label, entry_id) AS (VALUES $gazValuesSql),
        |cd AS (
        |  SELECT doc_id, source, text FROM documents
@@ -187,7 +187,7 @@ object Queries7 {
        |em AS (
        |  SELECT m.*, e.repo, e.path FROM m JOIN elig e USING (doc_id))""".stripMargin
 
-  private val mentionSelect =
+  private[graft] val mentionSelect =
     """SELECT repo, path, cstart AS start, cend AS "end",
       |  text, label AS tag
       |FROM em ORDER BY path, start""".stripMargin

@@ -1,0 +1,134 @@
+package graft
+
+import graft.core.Sentence
+import graft.crf.{Crf, Ensemble}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ninth batch (r4 verdict #3/#4): DuckDB oracles on the two modes
+  * that were spec-only — the genre-routed decode (the reference's
+  * `test_2`, main.py:379-482) and the pretrained-embedding scan +
+  * lowercase-fallback lookup (utils/util.py:88-116).
+  */
+object Queries9 {
+
+  // ---- q67: genre-routed decode (test_2), hash-checked ----------------
+
+  /** The reference's test_2 routes each document to a lowercase or
+    * standard model by genre (`SN` check, main.py:388-401). Here the
+    * REAL [[Ensemble.routedTag]] kernel routes per-sentence between
+    * two gaz-dominant models chosen by a genre derived from the path
+    * (even source number → the 0.9×-scaled "SN" stand-in, odd → the
+    * standard fitted model) on the non-overlapping-match subset where
+    * EACH model provably decodes to dictionary matching (the q60
+    * argument: positive scaling preserves every argmax margin). The
+    * q55 oracle pins the result, which is the point — the routing
+    * machinery must be decode-equivalent per route; EnsembleSpec
+    * covers a genuinely-diverging routing case. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Ensemble.Model(Crf.emissionWeights, Crf.transitions)
+    val sn = Ensemble.Model(
+      Crf.emissionWeights.map(_.map(_ * 0.9f)),
+      Crf.transitions.map(_.map(v => if (v == Crf.WALL) v else v * 0.9f)))
+    def genreOf(path: String): Int = {
+      // path = "doc/<source>/<id>.txt"; source = "src<N>"
+      val src = path.split('/')(1)
+      val n = src.drop(3).toInt
+      if (n % 2 == 0) 1 else 0 // even → SN stand-in model
+    }
+    val elig = Queries7.eligV(s, dir).select("path")
+    val sents = Queries7.sentsV(s, dir).as[Sentence]
+    Ensemble.routedTag(sents, IndexedSeq(base, sn),
+        (sent: Sentence) => genreOf(sent.path))
+      .flatMap(graft.spans.Spans.extract _).toDF()
+      .join(elig, "path")
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
+  private def o67: String =
+    s"WITH ${Queries7.oracleCte}\n${Queries7.mentionSelect}"
+
+  // ---- q68: pretrained-embedding scan + fallback lookup ---------------
+
+  /** Deterministic embedding-text fixture, dim 3: well-formed rows,
+    * a short row and a long row (dropped by the arity filter,
+    * util.py:92-95), case-distinct surfaces for the
+    * exact-then-lowercase policy. All values exactly representable
+    * (quarters) so both engines parse identical doubles. Lowercase
+    * forms are unique by construction — the first()-per-lower-form
+    * aggregation is order-independent on this fixture. */
+  private[graft] val embLines: Seq[(Long, String)] = Seq(
+    0L -> "alpha 0.25 -1.5 3.0",
+    1L -> "Beta 1.0 2.0 3.5",
+    2L -> "GAMMA -0.75 0.5 0.25",
+    3L -> "short 1.0",
+    4L -> "toolong 1.0 2.0 3.0 4.0",
+    5L -> "delta-x 2.25 -0.25 1.75")
+
+  /** Lookup probes: exact hit, lowercase-fallback hits (Alpha→alpha,
+    * beta→Beta, gamma→GAMMA), miss, and a dropped-row surface (the
+    * short row must NOT serve). */
+  private[graft] val vocabWords: Seq[String] = Seq(
+    "alpha", "Alpha", "Beta", "beta", "gamma", "delta-x", "short",
+    "missing")
+
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.conll.ConllOps.embeddingScan(
+      embLines.toDF("lineno", "line"), dim = 3)
+    val vocab = vocabWords.toDF("word")
+    graft.conll.ConllOps.embeddingLookup(vocab, emb)
+      .select(col("word"), col("used_fallback"),
+        posexplode_outer(col("vec")))
+      .select(col("word"), col("used_fallback"),
+        col("pos").cast("int").as("pos"), col("col").as("val"))
+      .orderBy("word", "pos")
+  }
+
+  private def o68: String = {
+    val lineVals = embLines
+      .map { case (i, l) => s"($i, '${l.replace("'", "''")}')" }
+      .mkString(", ")
+    val vocabVals = vocabWords.map(w => s"('$w')").mkString(", ")
+    s"""WITH raw(lineno, line) AS (VALUES $lineVals),
+       |f AS (
+       |  SELECT list_filter(string_split_regex(line, '\\s+'),
+       |    x -> x <> '') AS fs
+       |  FROM raw),
+       |emb AS (
+       |  SELECT fs[1] AS word,
+       |    [CAST(fs[2] AS DOUBLE), CAST(fs[3] AS DOUBLE),
+       |     CAST(fs[4] AS DOUBLE)] AS vec
+       |  FROM f WHERE len(fs) = 4),
+       |lowmap AS (
+       |  SELECT lower(word) AS wl, first(vec) AS v_lower
+       |  FROM emb GROUP BY 1),
+       |vocab(word) AS (VALUES $vocabVals),
+       |looked AS (
+       |  SELECT v.word,
+       |    coalesce(e.vec, l.v_lower) AS vec,
+       |    (e.vec IS NULL AND l.v_lower IS NOT NULL) AS used_fallback
+       |  FROM vocab v
+       |  LEFT JOIN emb e ON v.word = e.word
+       |  LEFT JOIN lowmap l ON lower(v.word) = l.wl)
+       |SELECT word, used_fallback, CAST(i - 1 AS INT) AS pos,
+       |  vec[i] AS val
+       |FROM looked,
+       |  LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i)
+       |WHERE vec IS NOT NULL
+       |UNION ALL
+       |SELECT word, used_fallback, NULL AS pos, NULL AS val
+       |FROM looked WHERE vec IS NULL
+       |ORDER BY word, pos""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_genre_routed_decode" -> (q67 _),
+    "q68_embedding_scan" -> (q68 _))
+
+  val oracles: Map[String, String] = Map(
+    "q67_genre_routed_decode" -> o67,
+    "q68_embedding_scan" -> o68)
+}
