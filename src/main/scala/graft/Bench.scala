@@ -30,6 +30,14 @@ object Bench {
   def replication: Int =
     sys.env.getOrElse("SPARK_GRAFT_REPLICATION", "8").toInt
 
+  /** Headline samples per run (r4 verdict #2: one sample on a shared
+    * box reads as a fake regression under neighbor load — the r4
+    * driver artifact recorded 13.2k t/s for code measuring 20.5k
+    * quiet). Min-of-3 with all samples disclosed makes the artifact
+    * self-interpreting. */
+  def samplesPerRun: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SAMPLES", "3").toInt
+
   /** The tail-safe driver-contract line: ≤ 250 bytes so ANY tail
     * window captures one complete JSON object (BENCH_r01/r02 recorded
     * parsed:null because the full per-query line truncated mid-line).
@@ -83,15 +91,24 @@ object Bench {
     // clean block store, not the gate's litter
     spark.catalog.listTables().collect().filter(_.isTemporary)
       .foreach(t => spark.catalog.dropTempView(t.name))
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-    System.gc()
-    val (pipeSec, triples) = runPipeline(spark, sfDir)
+    // min-of-N headline samples, block store scrubbed before EACH so a
+    // sample never times against the previous run's checkpoint litter
+    // (each sample still derives everything cold — nothing in the
+    // pipeline plan is cached across runs)
+    val samples = (1 to samplesPerRun).map { _ =>
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      runPipeline(spark, sfDir)
+    }
+    val (pipeSec, triples) = samples.minBy(_._1)
     val tps = if (pipeSec > 0) triples / pipeSec else 0.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val samplesJson = samples.map(_._1).mkString("[", ",", "]")
     val json = s"""{"metric":"pipeline_triples_per_sec","value":$tps,""" +
       s""""unit":"triples/sec","pipeline_sec":$pipeSec,""" +
+      s""""samples":$samplesJson,""" +
       s""""triples":$triples,"replication":$replication,""" +
       s""""cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
