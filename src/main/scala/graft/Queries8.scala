@@ -340,26 +340,35 @@ object Queries8 {
     * (the q55 enabler, generalized per language; LangModelSpec checks
     * the property corpus-wide). The oracle recomputes corpus, sliding
     * matches, eligibility and char offsets relationally in DuckDB. */
-  private def q66(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val g = LangDict.loadGaz(LangDict.gazCsvRows())
-    val sents = langSents(g)
-    // distinct (pos, len, label) sliding matches, independent of the
-    // decode kernel — the eligibility side of the subset pin
-    def matchesOf(lang: String, toks: Array[String])
-        : Set[(Int, Int, String)] =
-      (for {
-        label <- graft.core.Dict.entityTypes
-        entry <- g(lang).getOrElse(label, Vector.empty).distinct
-        i <- 0 to toks.length - entry.length
-        if toks.slice(i, i + entry.length).sameElements(entry)
-      } yield (i, entry.length, label)).toSet
+  /** Distinct (pos, len, label) sliding matches of a token array —
+    * independent of the decode kernel: the eligibility side of the
+    * q66/q69 subset pin. */
+  private[graft] def slidingMatches(g: Map[String, LangDict.Gaz],
+      lang: String, toks: Array[String]): Set[(Int, Int, String)] =
+    (for {
+      label <- graft.core.Dict.entityTypes
+      entry <- g(lang).getOrElse(label, Vector.empty).distinct
+      i <- 0 to toks.length - entry.length
+      if toks.slice(i, i + entry.length).sameElements(entry)
+    } yield (i, entry.length, label)).toSet
+
+  /** The q66/q69 serve corpus: the [[langSents]] grid restricted to
+    * overlap-free sentences (no two distinct matches share a token). */
+  private[graft] def eligibleLangSents(g: Map[String, LangDict.Gaz])
+      : Seq[(String, Int, Array[String])] = {
     def overlapFree(ms: Set[(Int, Int, String)]): Boolean =
       ms.toSeq.combinations(2).forall { case Seq(a, b) =>
         a._1 + a._2 <= b._1 || b._1 + b._2 <= a._1
       }
-    val eligible = sents
-      .filter { case (lang, _, toks) => overlapFree(matchesOf(lang, toks)) }
+    langSents(g).filter { case (lang, _, toks) =>
+      overlapFree(slidingMatches(g, lang, toks))
+    }
+  }
+
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = LangDict.loadGaz(LangDict.gazCsvRows())
+    val eligible = eligibleLangSents(g)
     val sidOf = eligible.map { case (lang, sid, _) =>
       f"$lang/$sid%05d.txt" -> sid
     }.toMap
@@ -382,8 +391,11 @@ object Queries8 {
       .orderBy("lang", "sid", "start", "end", "tag")
   }
 
-  private def o66: String =
-    s"""WITH $oGazVars,
+  /** Shared q66/q69 oracle CTE chain: gaz parse → entries → sentence
+    * grid → sliding matches → overlap eligibility → eligible matches
+    * `em(lang, sid, toks, j, elen, label, cstart, mtext)`. */
+  private[graft] def langOracleCte: String =
+    s"""$oGazVars,
        |labeled AS (
        |  SELECT lang,
        |    CASE WHEN lab IS NULL OR lab = '' THEN
@@ -428,7 +440,10 @@ object Queries8 {
        |      ELSE length(array_to_string(toks[1:j-1], ' ')) + 1
        |    END AS cstart,
        |    array_to_string(toks[j:j+elen-1], ' ') AS mtext
-       |  FROM matches WHERE sid NOT IN (SELECT sid FROM bad))
+       |  FROM matches WHERE sid NOT IN (SELECT sid FROM bad))""".stripMargin
+
+  private def o66: String =
+    s"""WITH $langOracleCte
        |SELECT lang, sid, CAST(cstart AS INT) AS start,
        |  CAST(cstart + length(mtext) AS INT) AS "end",
        |  mtext AS text, label AS tag

@@ -124,11 +124,71 @@ object Queries9 {
        |ORDER BY word, pos""".stripMargin
   }
 
+  // ---- q69: per-language link + triples terminal ----------------------
+
+  /** The full per-language KG terminal (r5, beyond the verdict asks):
+    * routed decode → [[graft.link.Linker]] with the LANGUAGE's entity
+    * index ([[graft.crf.LangModel.linkIndex]], language-scoped
+    * `lang:Qxxxxx` ids) → [[graft.triples.Triples.materialize]], per
+    * language over the q66 eligible corpus. On that subset every
+    * mention's text IS its matched gaz entry, the argmax is unique at
+    * score 1.0 (no two same-bucket same-label entries share a token
+    * set — LangModelSpec guards it), so DuckDB can recompute the
+    * entire link + canonical-subject + four-predicate output
+    * relationally, exactly like the eng q58. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = graft.core.LangDict.loadGaz(graft.core.LangDict.gazCsvRows())
+    val eligible = Queries8.eligibleLangSents(g)
+    Seq("tir", "orm").map { lang =>
+      val files = eligible.collect { case (`lang`, sid, toks) =>
+        graft.core.SourceFile(lang, f"$lang/$sid%05d.txt", "c0", lang,
+          toks.mkString(" "))
+      }.toDS()
+      val linked = graft.link.Linker.link(
+        graft.pipeline.Pipeline.mentions(files, lang),
+        index = graft.crf.LangModel.linkIndex(g(lang)),
+        kbId = graft.crf.LangModel.kbId(lang))
+      graft.triples.Triples.materialize(linked)
+    }.reduce(_ unionByName _)
+      .orderBy("subj", "pred", "obj")
+  }
+
+  private def o69: String = {
+    // rebuild the q66 corpus + eligibility CTEs, then link by entry id
+    // over the canonical (label, entry) order and emit the four
+    // predicates with the canonical 'e:' subject (bipartite stars)
+    val base = Queries8.langOracleCte
+    s"""WITH $base,
+       |entids AS (
+       |  SELECT lang, label, array_to_string(etoks, ' ') AS entry,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY label, array_to_string(etoks, ' ')) AS INT) - 1
+       |      AS eid
+       |  FROM entd),
+       |linked AS (
+       |  SELECT em.lang, em.sid, em.label, em.mtext,
+       |    em.lang || ':Q' || lpad(CAST(e.eid + 1 AS VARCHAR), 5, '0')
+       |      AS qid
+       |  FROM em JOIN entids e ON e.lang = em.lang
+       |    AND e.label = em.label AND e.entry = em.mtext)
+       |SELECT DISTINCT 'e:' || qid AS subj, pred, obj FROM (
+       |  SELECT qid, 'hasType' AS pred, label AS obj FROM linked
+       |  UNION ALL SELECT qid, 'label', lower(mtext) FROM linked
+       |  UNION ALL SELECT qid, 'mentionedIn',
+       |    lang || '/' || lang || '/' ||
+       |      lpad(CAST(sid AS VARCHAR), 5, '0') || '.txt' FROM linked
+       |  UNION ALL SELECT qid, 'sameAs', qid FROM linked)
+       |ORDER BY subj, pred, obj""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_genre_routed_decode" -> (q67 _),
-    "q68_embedding_scan" -> (q68 _))
+    "q68_embedding_scan" -> (q68 _),
+    "q69_lang_kg_triples" -> (q69 _))
 
   val oracles: Map[String, String] = Map(
     "q67_genre_routed_decode" -> o67,
-    "q68_embedding_scan" -> o68)
+    "q68_embedding_scan" -> o68,
+    "q69_lang_kg_triples" -> o69)
 }

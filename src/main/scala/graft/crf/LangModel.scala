@@ -152,6 +152,55 @@ object LangModel {
   def fitted(lang: String): Ensemble.Model =
     cache.computeIfAbsent(lang, l => fit(l, gazFor(l)))
 
+  // ---- per-language dictionary surfaces for post-process + linking ---
+
+  private def lower(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Lookup table of a language's gaz (lowercased entry string →
+    * label, multi-label entries dropped) — the per-language twin of
+    * [[Dict.lookupTable]] for [[graft.postprocess.PostProcess]], so a
+    * non-eng corpus is never fixed up against English entries. */
+  def lookupTable(gaz: LangDict.Gaz): Map[String, String] =
+    orderedEntries(gaz)
+      .map { case (label, e) => lower(e.mkString(" ")) -> label }
+      .groupBy(_._1)
+      .collect { case (k, vs) if vs.map(_._2).distinct.size == 1 =>
+        k -> vs.head._2
+      }
+
+  /** [[lookupTable]] re-indexed by first token (the shape
+    * [[Dict.lookupIndex]] serves the insertion probe). */
+  def lookupIndex(gaz: LangDict.Gaz)
+      : Map[String, Vector[(Vector[String], String)]] =
+    lookupTable(gaz).toVector
+      .map { case (text, tag) => (text.split(' ').toVector, tag) }
+      .groupBy(_._1.head)
+      .view.mapValues(_.sortBy(e => (-e._1.length, e._1.mkString(" "))))
+      .toMap
+
+  /** Entity-link index of a language's gaz for [[graft.link.Linker]]:
+    * lowercased-first-token → (lowercased entry tokens, label, id),
+    * ids assigned over [[orderedEntries]] (label order, then entry
+    * string — the canonical order the q69 oracle's row_number
+    * recomputes). Entries lowercase for the similarity probe exactly
+    * like [[Dict.gazIndex]]; the id space stays on the ORIGINAL
+    * distinct entries. No two same-bucket same-label entries share a
+    * token set in the reference gaz (LangModelSpec guards it), so an
+    * exact-surface mention's argmax is unique at score 1.0. */
+  def linkIndex(gaz: LangDict.Gaz)
+      : Map[String, Vector[(Vector[String], String, Int)]] =
+    orderedEntries(gaz).zipWithIndex
+      .map { case ((label, e), id) => (e.map(lower), label, id) }
+      .groupBy(_._1.head)
+      .view.mapValues(_.sortBy(e => (-e._1.length, e._3)).toVector)
+      .toMap
+
+  /** Language-scoped KB id: tir/orm entry ids both start at 0, so the
+    * id space carries the language (`tir:Q00001`). */
+  def kbId(lang: String)(entryId: Int): String =
+    f"$lang%s:Q${entryId + 1}%05d"
+
   /** Decode one sentence with a language's features + gaz + model:
     * the per-language twin of [[Crf.decodeSentence]], shared by the
     * routed pipeline kernel and tests. */

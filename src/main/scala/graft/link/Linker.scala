@@ -95,12 +95,20 @@ object Linker {
 
   /** Link mentions. Unlinked mentions keep entityId = "NIL" (the
     * reference emits NIL for every mention — post_process.py:29-33;
-    * linking is the north-star extension). */
+    * linking is the north-star extension). `index` is an entity index:
+    * lowercased-first-token → (lowercased entry tokens, label, entry
+    * id) — [[Dict.gazIndex]] is the default (eng);
+    * [[graft.crf.LangModel.linkIndex]] builds one per language from
+    * the reference gazetteer. `kbId` renders an entry id as the KB
+    * identifier (defaults to the Qxxxxx space). */
   def link(mentions: Dataset[Mention],
-      threshold: Double = defaultThreshold): Dataset[LinkedMention] = {
+      threshold: Double = defaultThreshold,
+      index: Map[String, Vector[(Vector[String], String, Int)]] =
+        Dict.gazIndex,
+      kbId: Int => String = Dict.kbId): Dataset[LinkedMention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val bIdx = spark.sparkContext.broadcast(Dict.gazIndex)
+    val bIdx = spark.sparkContext.broadcast(index)
     mentions.mapPartitions { it =>
       val idx = bIdx.value
       it.map { m =>
@@ -120,7 +128,7 @@ object Linker {
         }
         if (bestScore >= threshold && bestId >= 0)
           LinkedMention(m.repo, m.path, m.sentIdx, m.start, m.end,
-            m.text, m.tag, Dict.kbId(bestId), bestName.mkString(" "),
+            m.text, m.tag, kbId(bestId), bestName.mkString(" "),
             math.rint(bestScore * 10000) / 10000)
         else
           LinkedMention(m.repo, m.path, m.sentIdx, m.start, m.end,

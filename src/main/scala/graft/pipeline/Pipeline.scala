@@ -86,16 +86,39 @@ object Pipeline {
       }
     }
 
+  /** Post-process with the LANGUAGE's dictionary tables: eng keeps
+    * [[graft.core.Dict]]'s lookup, any other language uses tables
+    * derived from its reference gaz — fix-up and span back-fill must
+    * never consult English entries on a non-eng corpus. */
   def postProcessed(files: Dataset[SourceFile],
       authors: Set[String] = Set.empty,
-      lang: String = "eng"): Dataset[Mention] =
-    PostProcess(Segmenter.sentences(files), mentions(files, lang),
-      authors = authors)
+      lang: String = "eng"): Dataset[Mention] = {
+    val sents = Segmenter.sentences(files)
+    val ms = mentions(files, lang)
+    if (lang == "eng") PostProcess(sents, ms, authors = authors)
+    else {
+      val g = graft.crf.LangModel.gazFor(lang)
+      PostProcess(sents, ms, authors = authors,
+        lookup = graft.crf.LangModel.lookupTable(g),
+        lookupIndex = graft.crf.LangModel.lookupIndex(g))
+    }
+  }
 
+  /** Terminal KG: link with the language's entity index (eng → the
+    * engine dictionary / Qxxxxx ids; others → the reference gaz with
+    * language-scoped ids) and materialize triples. */
   def triples(files: Dataset[SourceFile],
       authors: Set[String] = Set.empty,
-      lang: String = "eng"): DataFrame =
-    Triples.materialize(Linker.link(postProcessed(files, authors, lang)))
+      lang: String = "eng"): DataFrame = {
+    val post = postProcessed(files, authors, lang)
+    val linked =
+      if (lang == "eng") Linker.link(post)
+      else Linker.link(post,
+        index = graft.crf.LangModel.linkIndex(
+          graft.crf.LangModel.gazFor(lang)),
+        kbId = graft.crf.LangModel.kbId(lang))
+    Triples.materialize(linked)
+  }
 
   /** Author set for [[PostProcess.lookupFixup]]'s DF-genre precedence
     * branch, from a directory of WL XML files (the reference's

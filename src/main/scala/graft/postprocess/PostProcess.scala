@@ -45,10 +45,12 @@ object PostProcess {
     * established. Both tables are corpus-size-independent broadcasts;
     * the stage is narrow. */
   def lookupFixup(mentions: Dataset[Mention],
-      authors: Set[String] = Set.empty): Dataset[Mention] = {
+      authors: Set[String] = Set.empty,
+      lookup: Map[String, String] = Dict.lookupTable)
+      : Dataset[Mention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
-    val bLookup = spark.sparkContext.broadcast(Dict.lookupTable)
+    val bLookup = spark.sparkContext.broadcast(lookup)
     val bAuthors = spark.sparkContext.broadcast(authors)
     mentions.mapPartitions { it =>
       val lookup = bLookup.value
@@ -171,10 +173,12 @@ object PostProcess {
     * post_process.py:124-134). Cogroup shuffles both sides by doc key
     * once; the greedy scan is per-doc local. */
   def insertFromLookup(sentences: Dataset[Sentence],
-      mentions: Dataset[Mention], maxN: Int = 5): Dataset[Mention] = {
+      mentions: Dataset[Mention], maxN: Int = 5,
+      lookupIndex: Map[String, Vector[(Vector[String], String)]] =
+        Dict.lookupIndex): Dataset[Mention] = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    val bIdx = spark.sparkContext.broadcast(Dict.lookupIndex)
+    val bIdx = spark.sparkContext.broadcast(lookupIndex)
     val cands = sentences.flatMap { s =>
       // first-token-indexed probe: a position whose token starts no
       // dictionary entry costs one map lookup and ZERO allocations.
@@ -227,11 +231,21 @@ object PostProcess {
     }
   }
 
-  /** Full reference post-processing chain (main.py:357-376 order). */
+  /** Full reference post-processing chain (main.py:357-376 order).
+    * `lookup`/`lookupIndex` default to the eng dictionary; the
+    * language-routed pipeline passes the per-language tables
+    * ([[graft.crf.LangModel.lookupTable]]/`lookupIndex`) so a non-eng
+    * corpus is never fixed up or back-filled against English entries
+    * (the reference builds its lookup per language from setE data). */
   def apply(sentences: Dataset[Sentence], mentions: Dataset[Mention],
       confNum: Int = 2, topK: Int = 20,
-      authors: Set[String] = Set.empty): Dataset[Mention] =
+      authors: Set[String] = Set.empty,
+      lookup: Map[String, String] = Dict.lookupTable,
+      lookupIndex: Map[String, Vector[(Vector[String], String)]] =
+        Dict.lookupIndex): Dataset[Mention] =
     insertFromLookup(sentences,
-      crossDocVote(withinDocVote(lookupFixup(mentions, authors), confNum),
-        topK))
+      crossDocVote(
+        withinDocVote(lookupFixup(mentions, authors, lookup), confNum),
+        topK),
+      lookupIndex = lookupIndex)
 }

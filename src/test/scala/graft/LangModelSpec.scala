@@ -30,6 +30,51 @@ class LangModelSpec extends SparkTestBase {
       m2.transitions.map(_.toSeq).toSeq)
   }
 
+  test("linkIndex: no same-bucket same-label token-set collision " +
+      "(the q69 oracle's unique-argmax assumption) + canonical ids") {
+    for (lang <- Seq("tir", "orm")) {
+      val gaz = LangModel.gazFor(lang)
+      val idx = LangModel.linkIndex(gaz)
+      idx.foreach { case (bucket, entries) =>
+        val keys = entries.map { case (toks, label, _) =>
+          (label, toks.toSet)
+        }
+        assert(keys.distinct.size == keys.size,
+          s"$lang/$bucket: two entries share (label, token set) — " +
+            "a score-1.0 Jaccard tie would desync engine and oracle")
+      }
+      // ids are dense 0..n-1 over the canonical entry order
+      val ids = idx.values.flatten.map(_._3).toSeq.sorted
+      assert(ids == (0 until ids.size))
+      assert(LangModel.kbId(lang)(0) == s"$lang:Q00001")
+    }
+  }
+
+  test("per-language post-process tables: no English back-fill on a " +
+      "non-eng corpus; the language's own entries do insert") {
+    val s = spark
+    import s.implicits._
+    val gaz = LangModel.gazFor("orm")
+    // an English dictionary surface planted in an orm doc
+    val engEntry = Dict.lookupTable.keys.toSeq.sorted.head
+    val ormEntry = LangModel.lookupTable(gaz).keys.toSeq.sorted.head
+    val files = Seq(
+      SourceFile("orm", "orm/eng.txt", "c0", "orm", engEntry),
+      SourceFile("orm", "orm/own.txt", "c0", "orm", ormEntry)).toDS()
+    val got = Pipeline.postProcessed(files, lang = "orm")
+      .collect().map(m => (m.path, m.text)).toSet
+    assert(!got.exists(_._1 == "orm/eng.txt"),
+      s"eng entry '$engEntry' back-filled into an orm corpus: $got")
+    assert(got.exists(_._1 == "orm/own.txt"),
+      s"orm entry '$ormEntry' not inserted by the orm lookup table")
+    // the same eng surface IS back-filled when the corpus is eng
+    val engFiles = Seq(
+      SourceFile("r", "doc/eng.txt", "c0", "eng", engEntry)).toDS()
+    val eng = Pipeline.postProcessed(engFiles, lang = "eng")
+      .collect().map(_.text).toSet
+    assert(eng.contains(engEntry))
+  }
+
   /** All sliding-window gaz matches of a token array: (pos, len,
     * label). Independent of the decode kernel and of
     * LangFeatures.gazBits — a direct scan. */
