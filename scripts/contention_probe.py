@@ -90,7 +90,6 @@ def cpu_times():
 
 
 def steal_pct(before, after):
-    d = [a - b for a, b in zip(before, after)]
     d = [b - a for a, b in zip(before, after)]
     total = sum(d)
     return round(100.0 * d[7] / total, 2) if total else 0.0

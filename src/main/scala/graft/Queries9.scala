@@ -182,13 +182,117 @@ object Queries9 {
        |ORDER BY subj, pred, obj""".stripMargin
   }
 
+  // ---- q70: per-language dictionary insertion restores mentions -------
+
+  /** q70 insertion-eligibility of a q66-eligible sentence: every
+    * original-case match is ≤ `maxN` tokens and lands in the
+    * language's unique-lowercase lookup table under its own label, and
+    * the LOWERCASED sliding matches over the lookup entries coincide
+    * positionally with the original-case matches — so dictionary
+    * insertion provably (a) restores every dropped mention with the
+    * right tag and (b) inserts nothing extra in kept docs, with no two
+    * accepted candidates overlapping (greedy order irrelevant — the
+    * q57 argument, per language). Recomputed relationally by the
+    * oracle's `lent`/`lmatch`/`ibad` CTEs. */
+  private[graft] def insertionEligible(
+      g: Map[String, graft.core.LangDict.Gaz], lang: String,
+      toks: Array[String], maxN: Int = 5): Boolean = {
+    val orig = Queries8.slidingMatches(g, lang, toks)
+    val lookup = graft.crf.LangModel.lookupTable(g(lang))
+    val lo = toks.map(_.toLowerCase(java.util.Locale.ROOT))
+    val origOk = orig.forall { case (i, n, label) =>
+      n <= maxN &&
+        lookup.get(lo.slice(i, i + n).mkString(" ")).contains(label)
+    }
+    val lowerMatches: Set[(Int, Int)] = (for {
+      key <- lookup.keysIterator
+      e = key.split(' ')
+      i <- 0 to lo.length - e.length
+      if lo.slice(i, i + e.length).sameElements(e)
+    } yield (i, e.length)).toSet
+    origOk && lowerMatches == orig.map { case (i, n, _) => (i, n) }
+  }
+
+  private[graft] def insertionEligibleSents(
+      g: Map[String, graft.core.LangDict.Gaz])
+      : Seq[(String, Int, Array[String])] =
+    Queries8.eligibleLangSents(g).filter { case (lang, _, toks) =>
+      insertionEligible(g, lang, toks)
+    }
+
+  /** The REAL [[graft.postprocess.PostProcess.insertFromLookup]] with
+    * the LANGUAGE's lookup tables ([[graft.crf.LangModel.lookupIndex]])
+    * over the insertion-eligible q66 corpus, with every mention of
+    * sid % 7 == 0 docs dropped first (simulated model misses, the eng
+    * q57 recipe): insertion must restore exactly the dropped mentions
+    * — the oracle recomputes corpus, matches, both eligibility layers
+    * and the restore identity relationally. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = graft.core.LangDict.loadGaz(graft.core.LangDict.gazCsvRows())
+    val eligible = insertionEligibleSents(g)
+    Seq("tir", "orm").map { lang =>
+      val files = eligible.collect { case (`lang`, sid, toks) =>
+        graft.core.SourceFile(lang, f"$lang/$sid%05d.txt", "c0", lang,
+          toks.mkString(" "))
+      }.toDS()
+      val sents = graft.segment.Segmenter.sentences(files)
+      val kept = graft.pipeline.Pipeline.mentions(files, lang)
+        .filter(m =>
+          m.path.split('/')(1).takeWhile(_.isDigit).toInt % 7 != 0)
+      graft.postprocess.PostProcess.insertFromLookup(sents, kept,
+        lookupIndex = graft.crf.LangModel.lookupIndex(g(lang))).toDF()
+    }.reduce(_ unionByName _)
+      .as[graft.core.Mention]
+      .map(m => (m.repo, m.path.split('/')(1).takeWhile(_.isDigit).toInt,
+        m.start, m.end, m.text, m.tag))
+      .toDF("lang", "sid", "start", "end", "text", "tag")
+      .orderBy("lang", "sid", "start", "end", "tag")
+  }
+
+  private def o70: String =
+    s"""WITH ${Queries8.langOracleCte},
+       |lent AS (
+       |  SELECT lang, lkey, min(label) AS label
+       |  FROM (SELECT DISTINCT lang,
+       |      array_to_string(list_transform(etoks, x -> lower(x)), ' ')
+       |        AS lkey, label FROM entd)
+       |  GROUP BY lang, lkey HAVING count(DISTINCT label) = 1),
+       |lenttok AS (
+       |  SELECT lang, lkey, label, string_split(lkey, ' ') AS ltoks
+       |  FROM lent),
+       |lmatch AS (
+       |  SELECT p.lang, p.sid, p.j, len(e.ltoks) AS elen
+       |  FROM positions p JOIN lenttok e ON e.lang = p.lang
+       |  WHERE p.j + len(e.ltoks) - 1 <= len(p.toks)
+       |    AND list_transform(p.toks, x -> lower(x))
+       |      [p.j : p.j + len(e.ltoks) - 1] = e.ltoks),
+       |ibad AS (
+       |  SELECT sid FROM (
+       |    SELECT m.sid
+       |    FROM em m LEFT JOIN lent e ON e.lang = m.lang
+       |      AND e.lkey = lower(m.mtext)
+       |    WHERE m.elen > 5 OR e.lkey IS NULL OR e.label <> m.label
+       |    UNION
+       |    SELECT l.sid
+       |    FROM lmatch l LEFT JOIN em m ON m.sid = l.sid AND m.j = l.j
+       |      AND m.elen = l.elen
+       |    WHERE m.lang IS NULL))
+       |SELECT lang, sid, CAST(cstart AS INT) AS start,
+       |  CAST(cstart + length(mtext) AS INT) AS "end",
+       |  mtext AS text, label AS tag
+       |FROM em WHERE sid NOT IN (SELECT sid FROM ibad)
+       |ORDER BY lang, sid, start, "end", tag""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_genre_routed_decode" -> (q67 _),
     "q68_embedding_scan" -> (q68 _),
-    "q69_lang_kg_triples" -> (q69 _))
+    "q69_lang_kg_triples" -> (q69 _),
+    "q70_lang_insertion_restore" -> (q70 _))
 
   val oracles: Map[String, String] = Map(
     "q67_genre_routed_decode" -> o67,
     "q68_embedding_scan" -> o68,
-    "q69_lang_kg_triples" -> o69)
+    "q69_lang_kg_triples" -> o69,
+    "q70_lang_insertion_restore" -> o70)
 }

@@ -142,23 +142,43 @@ object Pipeline {
 
   /** Checkpointed variant: every stage lands in `root/<stage>` with a
     * `_lineage.json` sidecar; a re-run with the same snapshot id
-    * resumes from the last committed stage (north rule resumability). */
+    * resumes from the last committed stage (north rule resumability).
+    * Language-routed exactly like [[triples]]: non-eng corpora decode,
+    * fix up and link against THEIR gaz-derived tables. */
   def triplesCheckpointed(files: Dataset[SourceFile], root: String,
-      snapshot: String): DataFrame = {
+      snapshot: String, lang: String = "eng"): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val sents = Segmenter.sentences(files)
-    val rawM = TableIO.writeStage(
-      Spans.fromTagged(Crf.tag(sents)).toDF(),
-      root, "mentions_raw", snapshot).as[Mention]
-    val post = TableIO.writeStage(
-      PostProcess(sents, rawM).toDF(), root, "mentions_post", snapshot)
+    val rawDf =
+      if (lang == "eng") Spans.fromTagged(Crf.tag(sents)).toDF()
+      else mentions(files, lang).toDF()
+    val rawM = TableIO.writeStage(rawDf, root, "mentions_raw", snapshot)
       .as[Mention]
+    val postDs =
+      if (lang == "eng") PostProcess(sents, rawM)
+      else {
+        val g = graft.crf.LangModel.gazFor(lang)
+        PostProcess(sents, rawM,
+          lookup = graft.crf.LangModel.lookupTable(g),
+          lookupIndex = graft.crf.LangModel.lookupIndex(g))
+      }
+    val post = TableIO.writeStage(
+      postDs.toDF(), root, "mentions_post", snapshot).as[Mention]
+    val linkedDs =
+      if (lang == "eng") Linker.link(post)
+      else Linker.link(post,
+        index = graft.crf.LangModel.linkIndex(
+          graft.crf.LangModel.gazFor(lang)),
+        kbId = graft.crf.LangModel.kbId(lang))
     val linked = TableIO.writeStage(
-      Linker.link(post).toDF(), root, "mentions_linked", snapshot)
+      linkedDs.toDF(), root, "mentions_linked", snapshot)
       .as[Linker.LinkedMention]
+    // partitioned parquet moves the partition column to the end on
+    // read-back; restore the canonical triple column order
     TableIO.writeStage(Triples.materialize(linked), root, "triples",
       snapshot, partitionCols = Seq("pred"))
+      .select("subj", "pred", "obj")
   }
 
   /** Salt a skewed key: `repo` → `repo#<salt>` with `buckets` salts —

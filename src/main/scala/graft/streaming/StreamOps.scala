@@ -81,6 +81,17 @@ object StreamOps {
       : org.apache.spark.sql.Dataset[graft.core.Mention] =
     graft.pipeline.Pipeline.mentions(files)
 
+  /** Language-routed streaming decode: the per-language fused kernel
+    * ([[graft.pipeline.Pipeline.mentions]](files, lang) — per-language
+    * features + gaz + fitted model, broadcast) is equally stateless
+    * and narrow, so any of the six languages tags an unbounded stream
+    * unchanged. */
+  def streamingMentions(
+      files: org.apache.spark.sql.Dataset[graft.core.SourceFile],
+      lang: String)
+      : org.apache.spark.sql.Dataset[graft.core.Mention] =
+    graft.pipeline.Pipeline.mentions(files, lang)
+
   /** Streaming decode under ANY fitted model artifact
     * ([[graft.io.ModelIO.loadFitted]] → here): the FittedModel serve
     * kernel is the same stateless narrow mapPartitions as the default

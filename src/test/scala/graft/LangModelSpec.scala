@@ -75,6 +75,21 @@ class LangModelSpec extends SparkTestBase {
     assert(eng.contains(engEntry))
   }
 
+  test("q70 insertion-eligible corpus is non-trivial and actually " +
+      "exercises the dropped-doc restore path per language") {
+    val g = LangDict.loadGaz(LangDict.gazCsvRows())
+    val sents = Queries9.insertionEligibleSents(g)
+    for (lang <- Seq("tir", "orm")) {
+      val mine = sents.filter(_._1 == lang)
+      assert(mine.size >= 100,
+        s"$lang insertion-eligible corpus collapsed to ${mine.size} " +
+          "sentences — the q70 hash gate would be vacuous")
+      assert(mine.exists(_._2 % 7 == 0),
+        s"$lang: no sid % 7 == 0 doc — nothing is dropped, the " +
+          "restore path is untested")
+    }
+  }
+
   /** All sliding-window gaz matches of a token array: (pos, len,
     * label). Independent of the decode kernel and of
     * LangFeatures.gazBits — a direct scan. */

@@ -85,6 +85,31 @@ class StreamingSpec extends SparkTestBase {
     assert(stream.nonEmpty)
   }
 
+  test("language-routed streaming decode == batch routed kernel (tir)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val g = graft.core.LangDict.loadGaz(graft.core.LangDict.gazCsvRows())
+    val files = Queries8.eligibleLangSents(g)
+      .collect { case ("tir", sid, toks) =>
+        graft.core.SourceFile("tir", f"tir/$sid%05d.txt", "c0", "tir",
+          toks.mkString(" "))
+      }.take(20)
+    val mem = MemoryStream[graft.core.SourceFile]
+    mem.addData(files: _*)
+    val q = StreamOps.streamingMentions(mem.toDS(), "tir")
+      .writeStream.format("memory").queryName("smr")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val stream = spark.table("smr")
+      .orderBy("repo", "path", "sentIdx", "start")
+      .collect().map(_.toString).toSeq
+    val batch = graft.pipeline.Pipeline.mentions(files.toDS(), "tir")
+      .toDF().orderBy("repo", "path", "sentIdx", "start")
+      .collect().map(_.toString).toSeq
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("streaming linking == batch linker on the same files") {
     val s = spark
     import s.implicits._

@@ -76,6 +76,30 @@ class TriplesSpec extends SparkTestBase {
     assert(t1.map(_.toString).toSeq == t2.map(_.toString).toSeq)
   }
 
+  test("checkpointed pipeline routes lang: orm checkpoints == direct " +
+      "routed triples, and resume still holds") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_orm").toString
+    val g = graft.core.LangDict.loadGaz(graft.core.LangDict.gazCsvRows())
+    val files = Queries8.eligibleLangSents(g)
+      .collect { case ("orm", sid, toks) =>
+        graft.core.SourceFile("orm", f"orm/$sid%05d.txt", "c0", "orm",
+          toks.mkString(" "))
+      }.take(30).toDS()
+    val ckpt = Pipeline.triplesCheckpointed(files, root, "snapO", "orm")
+      .orderBy("subj", "pred", "obj").collect().map(_.toString).toSeq
+    val direct = Pipeline.triples(files, lang = "orm")
+      .orderBy("subj", "pred", "obj").collect().map(_.toString).toSeq
+    assert(ckpt == direct && ckpt.nonEmpty)
+    // language-scoped ids flowed through the checkpointed link stage
+    assert(ckpt.exists(_.contains("orm:Q")))
+    val again = Pipeline.triplesCheckpointed(files, root, "snapO", "orm")
+      .orderBy("subj", "pred", "obj").collect().map(_.toString).toSeq
+    assert(again == ckpt)
+  }
+
   test("post-processing does not damage e2e golden P/R") {
     val s = spark
     import s.implicits._
