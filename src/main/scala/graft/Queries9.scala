@@ -284,15 +284,49 @@ object Queries9 {
        |FROM em WHERE sid NOT IN (SELECT sid FROM ibad)
        |ORDER BY lang, sid, start, "end", tag""".stripMargin
 
+  // ---- q71: ensemble-split sink partition property --------------------
+
+  /** The ensemble-split sink ([[graft.conll.Scans.ensembleSplit]],
+    * utils/split_train_ensemble.py:5-31) assigns sentences to shards
+    * by a seeded RNG, so the ASSIGNMENT is not SQL-mirrorable — but
+    * its load-bearing invariant is: the K shards are an exact
+    * partition of the input (every row in exactly one shard, none
+    * dropped, none duplicated). That is precisely the property
+    * Spark's `randomSplit` silently violates when the upstream plan
+    * is non-deterministic between the K evaluations (the classic
+    * overlapping-splits footgun); this query recomputes per-row shard
+    * membership from the REAL split outputs and hash-checks that
+    * every doc lands in exactly one shard. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val shards = graft.conll.Scans.ensembleSplit(docs, n = 5)
+    shards.zipWithIndex
+      .map { case (sh, i) => sh.select(col("doc_id"), lit(i).as("shard")) }
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shards"),
+        countDistinct(col("shard")).as("n_distinct_shards"))
+      .orderBy("doc_id")
+  }
+
+  private def o71: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS n_shards,
+      |  CAST(1 AS BIGINT) AS n_distinct_shards
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_genre_routed_decode" -> (q67 _),
     "q68_embedding_scan" -> (q68 _),
     "q69_lang_kg_triples" -> (q69 _),
-    "q70_lang_insertion_restore" -> (q70 _))
+    "q70_lang_insertion_restore" -> (q70 _),
+    "q71_ensemble_split_partition" -> (q71 _))
 
   val oracles: Map[String, String] = Map(
     "q67_genre_routed_decode" -> o67,
     "q68_embedding_scan" -> o68,
     "q69_lang_kg_triples" -> o69,
-    "q70_lang_insertion_restore" -> o70)
+    "q70_lang_insertion_restore" -> o70,
+    "q71_ensemble_split_partition" -> o71)
 }
