@@ -316,17 +316,80 @@ object Queries9 {
       |  CAST(1 AS BIGINT) AS n_distinct_shards
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q72: vocab checkpoint sink/scan round-trip ----------------------
+
+  /** The vocab pickle of the reference (data_loader.py's saved vocab)
+    * is re-expressed as a [[graft.io.TableIO.writeStage]] parquet
+    * checkpoint. This query gates the sink/scan round-trip: build the
+    * q02 vocab-id table, checkpoint it, then call writeStage AGAIN
+    * with the same snapshot id but an EMPTY frame — the resume path
+    * must be a no-op that serves the STORED table (if it re-wrote,
+    * the result would be empty and the hash gate fails). The oracle
+    * recomputes the vocab relationally, so the parquet round-trip
+    * must preserve every value and type. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q72").toString
+    val vocab = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .withColumn("id", row_number().over(Window.orderBy("word")))
+    graft.io.TableIO.writeStage(vocab, root, "vocab", "q72-snap")
+    graft.io.TableIO
+      .writeStage(vocab.limit(0), root, "vocab", "q72-snap")
+      .orderBy("word")
+  }
+
+  private def o72: String =
+    """SELECT word, row_number() OVER (ORDER BY word) AS id
+      |FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+      |      FROM documents)
+      |ORDER BY word""".stripMargin
+
+  // ---- q73: model save/load gated through decode -----------------------
+
+  /** Model save/load ([[graft.io.ModelIO]], the reference's DyNet
+    * model.save/populate at models/model_builder.py:30-43) was
+    * spec-only; this gates it through decode: save the default model,
+    * load it back, and decode the q55 corpus with the LOADED weights
+    * — the q55 dictionary oracle pins the result, so any precision
+    * loss or row-order corruption in the parquet weights artifact
+    * breaks the hash. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q73").toString + "/model"
+    graft.io.ModelIO.save(s,
+      Ensemble.Model(Crf.emissionWeights, Crf.transitions), path)
+    val m = graft.io.ModelIO.load(s, path)
+    val elig = Queries7.eligV(s, dir).select("path")
+    val sents = Queries7.sentsV(s, dir).as[Sentence]
+    Crf.tag(sents, m.emissions, m.transitions)
+      .flatMap(graft.spans.Spans.extract _).toDF()
+      .join(elig, "path")
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
+  private def o73: String =
+    s"WITH ${Queries7.oracleCte}\n${Queries7.mentionSelect}"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q67_genre_routed_decode" -> (q67 _),
     "q68_embedding_scan" -> (q68 _),
     "q69_lang_kg_triples" -> (q69 _),
     "q70_lang_insertion_restore" -> (q70 _),
-    "q71_ensemble_split_partition" -> (q71 _))
+    "q71_ensemble_split_partition" -> (q71 _),
+    "q72_vocab_checkpoint_roundtrip" -> (q72 _),
+    "q73_model_roundtrip_decode" -> (q73 _))
 
   val oracles: Map[String, String] = Map(
     "q67_genre_routed_decode" -> o67,
     "q68_embedding_scan" -> o68,
     "q69_lang_kg_triples" -> o69,
     "q70_lang_insertion_restore" -> o70,
-    "q71_ensemble_split_partition" -> o71)
+    "q71_ensemble_split_partition" -> o71,
+    "q72_vocab_checkpoint_roundtrip" -> o72,
+    "q73_model_roundtrip_decode" -> o73)
 }
