@@ -1,0 +1,115 @@
+package graft
+
+import graft.core.Sentence
+import graft.crf.Crf
+import graft.eval.SpanPRF1
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tenth batch (r5): oracles on the last two spec-only SURVEY §2 rows
+  * that are SQL-expressible — the conlleval token-accuracy number
+  * (eval/conlleval.v2:180-186) and the strict tag-id encode
+  * (data_loader.py's tag vocabulary with the MISC↔GPE bijection).
+  */
+object Queries10 {
+
+  // ---- q74: conlleval token accuracy, hash-checked ---------------------
+
+  /** The OTHER conlleval number (token-level tag accuracy; span P/R/F1
+    * is q13) gated through the REAL kernels end-to-end: per-token tags
+    * come from the real Viterbi decode ([[Crf.tag]]) over the eligible
+    * corpus, the "predictions" zero out every tag in doc_id % 7 == 0
+    * docs (the q57 simulated-miss recipe), and the single corpus row
+    * is computed by [[SpanPRF1.tokenAccuracy]]. The oracle recomputes
+    * both sides relationally: total tokens over eligible clean docs,
+    * wrong = mention-token count (sum of match lengths — matches are
+    * pairwise non-overlapping on this subset) in the dropped docs. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eligD = Queries7.eligV(s, dir).select("doc_id", "path")
+    val sentsE = Queries7.sentsV(s, dir)
+      .join(eligD.select("path"), "path")
+      .select(col("repo"), col("path"), col("sentIdx"), col("tokens"),
+        col("starts"), col("ends")).as[Sentence]
+    val tokTags = Crf.tag(sentsE, Crf.emissionWeights, Crf.transitions)
+      .toDF()
+      .select(col("path"), col("sentIdx"), posexplode(col("tags")))
+      .select(col("path").as("doc"), col("sentIdx").as("sent"),
+        col("pos").as("idx"), col("col").as("tag"))
+    val pred = tokTags
+      .join(eligD.withColumnRenamed("path", "doc"), "doc")
+      .withColumn("tag",
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("O"))
+          .otherwise(col("tag")))
+      .select("doc", "sent", "idx", "tag")
+    SpanPRF1.tokenAccuracy(pred, gold = tokTags)
+  }
+
+  private def o74: String =
+    s"""WITH ${Queries7.oracleCte},
+       |tot AS (
+       |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |    AS tokens
+       |  FROM cd WHERE doc_id IN (SELECT doc_id FROM elig)),
+       |miss AS (
+       |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS wrong
+       |  FROM em WHERE doc_id % 7 = 0)
+       |SELECT tokens, tokens - wrong AS correct,
+       |  round((tokens - wrong) / CAST(tokens AS DOUBLE), 4) AS accuracy
+       |FROM tot, miss""".stripMargin
+
+  // ---- q75: strict tag-id encode (canonical contiguous ids) -----------
+
+  /** The tag vocabulary is FIXED and strict (SURVEY §2.2: unknown tags
+    * fail, no auto-grow — [[FitEval.tagIdOf]] throws on a tag outside
+    * the canonical universe; ids are contiguous in lexicographic
+    * order, Dict.scala:22-24). Gate: scan the CoNLL fixture, IO→BIO,
+    * then encode each tag with the REAL tagIdOf (including its
+    * MISC↔GPE bijection). The oracle recomputes the id assignment
+    * itself — the 9-tag universe is BUILT from the 4 entity types
+    * (B-/I- crosses + O) and ids fall out of row_number over the
+    * sort, so a drifted id table cannot hash-match. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bio = graft.conll.ConllOps.io2bio(
+      graft.conll.ConllOps.conllScan(graft.conll.ConllOps.conllFixture(s)))
+    bio.select(col("sentId").cast("long"), col("tokenIdx").cast("long"),
+        col("word"), col("bio"))
+      .as[(Long, Long, String, String)]
+      .map { case (sid, tid, w, t) =>
+        (sid, tid, w, t.replace("MISC", "GPE"), FitEval.tagIdOf(t)) }
+      .toDF("sentId", "tokenIdx", "word", "tag", "tag_id")
+      .orderBy("sentId", "tokenIdx")
+  }
+
+  private def o75: String =
+    s"""WITH ${Queries4.conllCte},
+       |lagged AS (
+       |  SELECT *, lag(tag) OVER (PARTITION BY sentId ORDER BY tokenIdx)
+       |    AS prevTag
+       |  FROM scan),
+       |bio AS (
+       |  SELECT sentId, tokenIdx, word, ${Queries4.bioSql} AS tag
+       |  FROM lagged),
+       |etypes(t) AS (VALUES ('GPE'), ('LOC'), ('ORG'), ('PER')),
+       |tagset AS (
+       |  SELECT 'B-' || t AS tag FROM etypes
+       |  UNION ALL SELECT 'I-' || t FROM etypes
+       |  UNION ALL SELECT 'O'),
+       |ids AS (
+       |  SELECT tag, CAST(row_number() OVER (ORDER BY tag) - 1 AS INT)
+       |    AS tag_id
+       |  FROM tagset)
+       |SELECT b.sentId, b.tokenIdx, b.word,
+       |  replace(b.tag, 'MISC', 'GPE') AS tag, i.tag_id
+       |FROM bio b JOIN ids i ON i.tag = replace(b.tag, 'MISC', 'GPE')
+       |ORDER BY sentId, tokenIdx""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_token_accuracy" -> (q74 _),
+    "q75_tag_id_encode" -> (q75 _))
+
+  val oracles: Map[String, String] = Map(
+    "q74_token_accuracy" -> o74,
+    "q75_tag_id_encode" -> o75)
+}

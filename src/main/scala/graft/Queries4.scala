@@ -16,7 +16,7 @@ object Queries4 {
 
   /** Shared oracle CTE: the CoNLL scan in SQL (blank-line running sum
     * sessionizer, fields[0]/[-1]). */
-  private def conllCte: String =
+  private[graft] def conllCte: String =
     s"""raw(lineno, line) AS (VALUES $fixtureValues),
        |scan AS (
        |  SELECT sentId,
@@ -46,7 +46,7 @@ object Queries4 {
       .select("sentId", "tokenIdx", "word", "bio")
       .orderBy("sentId", "tokenIdx")
 
-  private val bioSql =
+  private[graft] val bioSql =
     """CASE WHEN tag LIKE 'I-%' AND (prevTag IS NULL OR prevTag = 'O'
       |    OR substr(prevTag, 3) <> substr(tag, 3))
       |  THEN 'B-' || substr(tag, 3) ELSE tag END""".stripMargin

@@ -131,6 +131,18 @@ class ConllOpsSpec extends SparkTestBase {
       .getSeq[Double](1) == Seq(1.0, -1.0, 0.5))
   }
 
+  test("tag-id encode is strict: canonical contiguous ids, MISC↔GPE " +
+      "bijection, unknown tags FAIL (no silent auto-grow)") {
+    // ids are lexicographic positions (Dict.scala:22-24), O is last
+    assert(graft.core.Dict.tags == graft.core.Dict.tags.sorted)
+    assert(graft.core.Dict.tags.map(FitEval.tagIdOf) ==
+      graft.core.Dict.tags.indices.toVector)
+    assert(FitEval.tagIdOf("B-MISC") == FitEval.tagIdOf("B-GPE"))
+    assert(FitEval.tagIdOf("I-MISC") == FitEval.tagIdOf("I-GPE"))
+    intercept[NoSuchElementException](FitEval.tagIdOf("B-UNKNOWN"))
+    intercept[NoSuchElementException](FitEval.tagIdOf("o"))
+  }
+
   test("author XML scan: WL-only, post-block-only, distinct " +
       "(extract_authors.py:6-26)") {
     val s = spark

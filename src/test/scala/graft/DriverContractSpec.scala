@@ -47,7 +47,7 @@ class DriverContractSpec extends SparkTestBase {
   test("query ids are unique across Queries* batches") {
     val batches = Seq(Queries.all, Queries2.all, Queries3.all,
       Queries4.all, Queries5.all, Queries6.all, Queries7.all,
-      Queries8.all, Queries9.all)
+      Queries8.all, Queries9.all, Queries10.all)
     val total = batches.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       "duplicate query id silently shadowed across batches")
