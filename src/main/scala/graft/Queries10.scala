@@ -105,11 +105,74 @@ object Queries10 {
        |FROM bio b JOIN ids i ON i.tag = replace(b.tag, 'MISC', 'GPE')
        |ORDER BY sentId, tokenIdx""".stripMargin
 
+  // ---- q76: STREAMING decode under the hash gate -----------------------
+
+  /** The Structured-Streaming ingest path was spec-only (StreamingSpec
+    * batch-parity); this puts it under the DuckDB gate: the eligible
+    * corpus lands in a temp parquet dir, a real `readStream` source
+    * feeds [[graft.streaming.StreamOps.streamingMentions]] (the fused
+    * decode kernel lifted onto an unbounded plan), an AvailableNow
+    * trigger drains it into a memory sink, and the q55 dictionary
+    * oracle pins the drained result — the streaming planner must
+    * produce byte-identical mentions to the batch contract. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q76").toString
+    val elig = Queries7.eligV(s, dir).select("path")
+    val src = graft.core.Corpus.fromDocuments(s, dir).join(elig, "path")
+      .select("repo", "path", "commit", "lang", "content")
+    src.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = s.readStream.schema(src.schema).parquet(s"$tmp/in")
+      .as[graft.core.SourceFile]
+    val sink = "q76_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.StreamOps.streamingMentions(stream).toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
+      .select("repo", "path", "start", "end", "text", "tag")
+      .orderBy("path", "start")
+  }
+
+  private def o76: String = Queries7.oracles("q55_decode_dict_oracle")
+
+  // ---- q77: checkpointed pipeline end-to-end ---------------------------
+
+  /** [[graft.pipeline.Pipeline.triplesCheckpointed]] — decode →
+    * parquet stage → post-process → stage → link → stage → triples
+    * partitioned by pred → read-back — over the eligible corpus, where
+    * post-processing is the identity (the q56-gated argument), so the
+    * q58 relational link+triples oracle pins the WHOLE resumable
+    * chain: any value/type loss in a stage checkpoint or a
+    * partition-column reorder on read-back breaks the hash. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q77").toString
+    val elig = Queries7.eligV(s, dir).select("path")
+    val files = graft.core.Corpus.fromDocuments(s, dir)
+      .join(elig, "path")
+      .select("repo", "path", "commit", "lang", "content")
+      .as[graft.core.SourceFile]
+    graft.pipeline.Pipeline.triplesCheckpointed(files, root, "q77-snap")
+      .orderBy("subj", "pred", "obj")
+  }
+
+  private def o77: String = Queries7.oracles("q58_triples_oracle")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_token_accuracy" -> (q74 _),
-    "q75_tag_id_encode" -> (q75 _))
+    "q75_tag_id_encode" -> (q75 _),
+    "q76_streaming_decode" -> (q76 _),
+    "q77_checkpointed_triples" -> (q77 _))
 
   val oracles: Map[String, String] = Map(
     "q74_token_accuracy" -> o74,
-    "q75_tag_id_encode" -> o75)
+    "q75_tag_id_encode" -> o75,
+    "q76_streaming_decode" -> o76,
+    "q77_checkpointed_triples" -> o77)
 }
