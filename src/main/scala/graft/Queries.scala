@@ -44,11 +44,29 @@ object Queries {
   /** Contiguous canonical id assignment (data_loader.py:107-130,
     * nondeterministic dict order replaced by sorted order — SURVEY §1.4).
     * id 0 reserved for padding => ids start at 1 (data_loader.py:58-64). */
-  private def q02(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    words(s, dir).select("word").distinct()
-      .withColumn("id", row_number().over(Window.orderBy("word")))
-      .orderBy("word")
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    vocabIds(words(s, dir)).orderBy("word")
+
+  /** Scale-safe canonical vocab ids (r5 verdict #3): the old
+    * `row_number().over(Window.orderBy("word"))` moved the WHOLE
+    * distinct vocabulary through ONE partition (WindowExec warns; at
+    * 10^8–10^9 distinct words that single-partition sort is a straight
+    * scale-killer). Replacement: range-partitioned global sort +
+    * per-partition prefix-sum offsets — `zipWithIndex` runs one
+    * lightweight partition-size count job, then stamps contiguous
+    * indexes without any single-partition exchange. Ids are identical
+    * (contiguous 1..N in lexicographic word order; the sort is total
+    * because words are distinct, so ids are deterministic regardless
+    * of partition boundaries). Kept `int` to preserve the declared
+    * schema of row_number; the id space holds to 2^31 — at a larger
+    * vocabulary widen to long alongside the oracle. */
+  private[graft] def vocabIds(wordRows: DataFrame): DataFrame = {
+    val spark = wordRows.sparkSession
+    import spark.implicits._
+    wordRows.select("word").distinct().orderBy("word")
+      .as[String].rdd.zipWithIndex()
+      .map { case (w, i) => (w, (i + 1).toInt) }
+      .toDF("word", "id")
   }
 
   private val o02 =

@@ -115,10 +115,16 @@ object Queries10 {
     * trigger drains it into a memory sink, and the q55 dictionary
     * oracle pins the drained result — the streaming planner must
     * produce byte-identical mentions to the batch contract. */
+  /** Previous invocation's memory sink, dropped on the next call: the
+    * sink must outlive this function (the caller's action reads it),
+    * so same-session re-runs reclaim the prior driver-resident result
+    * table instead of leaking one per invocation (ADVICE r5). */
+  private val lastQ76Sink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   private def q76(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_q76").toString
+    val tmp = graft.core.TempDirs.create("graft_q76")
     val elig = Queries7.eligV(s, dir).select("path")
     val src = graft.core.Corpus.fromDocuments(s, dir).join(elig, "path")
       .select("repo", "path", "commit", "lang", "content")
@@ -127,6 +133,8 @@ object Queries10 {
       .as[graft.core.SourceFile]
     val sink = "q76_sink_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    Option(lastQ76Sink.getAndSet(sink))
+      .foreach(prev => s.catalog.dropTempView(prev))
     graft.streaming.StreamOps.streamingMentions(stream).toDF()
       .writeStream.format("memory").queryName(sink)
       .outputMode("append")
@@ -151,8 +159,7 @@ object Queries10 {
     * partition-column reorder on read-back breaks the hash. */
   private def q77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_q77").toString
+    val root = graft.core.TempDirs.create("graft_q77")
     val elig = Queries7.eligV(s, dir).select("path")
     val files = graft.core.Corpus.fromDocuments(s, dir)
       .join(elig, "path")

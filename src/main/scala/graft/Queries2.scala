@@ -95,27 +95,43 @@ object Queries2 {
     * shingles, with exact Jaccard. The shingle self-join is the
     * exact-pairs baseline; the MinHash/LSH variant (same output at
     * lower cost) is the scale path (SURVEY.md training-data ops). */
-  private def q11(s: SparkSession, dir: String): DataFrame = {
-    // lazy localCheckpoint, not cache(): consumed by 3 subtrees (counts
-    // + both join sides) but must not pin session storage after the
-    // query's action completes
-    val sh = shingles(s, dir).localCheckpoint(false)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val common = a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      .filter(col("common") >= 20)
-    common
-      .join(counts.select(col("doc_id").as("doc_a"),
-        col("nsh").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"),
-        col("nsh").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("common"),
-        round(col("common") / (col("na") + col("nb") - col("common")), 4)
-          .as("jac"))
-      .orderBy("doc_a", "doc_b")
+  /** The q11 near-dup pair table, materialized ONCE per (session,
+    * sfDir): the 8-gram shingle self-join is the expensive part of
+    * q11 AND both CC gates — round 5 ran it twice (q11's own action,
+    * then again inside [[nearDupEdges]]'s view build). One eager
+    * localCheckpoint behind a temp view serves all three consumers;
+    * fresh sessions (each timed bench run) still derive it cold. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val view = "graft_neardup_pairs_" +
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (!s.catalog.tableExists(view)) {
+      // lazy localCheckpoint, not cache(): consumed by 3 subtrees
+      // (counts + both join sides) but must not pin session storage
+      // beyond the view build
+      val sh = shingles(s, dir).localCheckpoint(false)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      val common = a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 20)
+      common
+        .join(counts.select(col("doc_id").as("doc_a"),
+          col("nsh").as("na")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"),
+          col("nsh").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          round(col("common") / (col("na") + col("nb") - col("common")), 4)
+            .as("jac"))
+        .localCheckpoint(true)
+        .createOrReplaceTempView(view)
+    }
+    s.table(view)
   }
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    nearDupPairs(s, dir).orderBy("doc_a", "doc_b")
 
   private val shingleCte =
     """sh AS (
@@ -145,22 +161,15 @@ object Queries2 {
     * and q53 consume a single eager localCheckpoint behind a temp view
     * — their bench numbers then measure the CC algorithms, not a
     * repeated edge derivation. */
-  def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
-    // the sanitized path alone can collide (/data/sf0.1 vs /data/sf0_1
-    // both map to _data_sf0_1), so the view key carries the full
-    // SHA-256 of the raw path — collision-free in practice
-    val view = "graft_neardup_edges_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if (!s.catalog.tableExists(view)) {
-      q11(s, dir)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .localCheckpoint(true)
-        .createOrReplaceTempView(view)
-    }
-    s.table(view)
-  }
+  def nearDupEdges(s: SparkSession, dir: String): DataFrame =
+    // the pair table is already an eager checkpoint ([[nearDupPairs]]);
+    // a second checkpoint of its narrow projection would only copy
+    // blocks — serve the projection directly (q12 and q53 both key off
+    // this, so the shingle self-join runs once per session, not three
+    // times as in round 5: q11, the old edges view build, and q53's
+    // first touch when q12 hadn't run)
+    nearDupPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
   /** Min-label propagation over the near-dup graph; oracle = recursive
     * CTE transitive closure in DuckDB. This is the exact kernel the
@@ -255,17 +264,31 @@ object Queries2 {
 
   // ---- full-pipeline rows-only entries ------------------------------
 
-  /** Post-processed mentions (vote/fix-up/insert chain). */
+  /** Post-processed mentions (vote/fix-up/insert chain). Consumes the
+    * session-shared segmentation + fused-decode checkpoints
+    * ([[Queries7.sentsV]]/[[Queries7.mentionsV]] — the same
+    * derivations [[Pipeline.postProcessed]] runs inline): round 5
+    * re-decoded the whole corpus here even though q50 had just
+    * materialized the identical mention stream, so the q51 number
+    * now measures the post-process chain, not a repeated decode. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Pipeline.postProcessed(Corpus.fromDocuments(s, dir).as[SourceFile])
+    val sents = Queries7.sentsV(s, dir).as[graft.core.Sentence]
+    val ms = Queries7.mentionsV(s, dir).as[graft.core.Mention]
+    graft.postprocess.PostProcess(sents, ms)
       .toDF().orderBy("repo", "path", "sentIdx", "start")
   }
 
-  /** Full KG: linked + canonicalized (subj, pred, obj) triples. */
+  /** Full KG: linked + canonicalized (subj, pred, obj) triples —
+    * [[Pipeline.triples]]'s eng stages over the same shared
+    * checkpoints (identical inputs ⇒ identical output; the oracle
+    * hash re-confirms every round). */
   private def q52(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Pipeline.triples(Corpus.fromDocuments(s, dir).as[SourceFile])
+    val sents = Queries7.sentsV(s, dir).as[graft.core.Sentence]
+    val ms = Queries7.mentionsV(s, dir).as[graft.core.Mention]
+    graft.triples.Triples.materialize(graft.link.Linker.link(
+        graft.postprocess.PostProcess(sents, ms)))
       .orderBy("subj", "pred", "obj")
   }
 

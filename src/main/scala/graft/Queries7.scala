@@ -52,26 +52,38 @@ object Queries7 {
       !col("text").contains("\n") && !col("text").contains("\t") &&
         !col("text").contains("  ") && trim(col("text")) === col("text"))
 
-  /** Dictionary n-gram matches with token indexes AND char offsets. */
+  /** Dictionary n-gram matches with token indexes AND char offsets.
+    *
+    * One pass (r6): the old per-n union re-scanned the parquet and
+    * re-split `text` maxEntryLen times, and re-derived each gram's
+    * char offset with an O(prefix) concat per gram; now a single
+    * projection computes the token-offset array once per doc
+    * (offs[i] = sum of first i token lengths + i — identical to
+    * `length(concat_ws(' ', slice(w, 1, i))) + 1` and to IF(i=0, 0))
+    * and one explode emits all n-gram sizes. Plan: 3 Scan+Generate
+    * subtrees under a Union → 1 Scan + 1 Generate. */
   private def matches(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dict = gazRows.toDF("entry", "label", "entry_id")
-    val w = cleanDocs(s, dir)
+    val branches = (1 to maxEntryLen).map { n =>
+      s"""IF(size(w) >= $n,
+         |  transform(sequence(0, size(w) - $n), i -> struct(
+         |    i AS idx,
+         |    concat_ws(' ', slice(w, i + 1, $n)) AS gram,
+         |    CAST(element_at(offs, i + 1) AS INT) AS cstart,
+         |    $n AS n)),
+         |  array())""".stripMargin
+    }.mkString(", ")
+    val grams = cleanDocs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val grams = (1 to maxEntryLen).map { n =>
-      w.filter(size(col("w")) >= n)
-        .select(col("doc_id"), expr(
-          s"""explode(transform(sequence(0, size(w) - $n), i -> struct(
-             |  i AS idx,
-             |  concat_ws(' ', slice(w, i + 1, $n)) AS gram,
-             |  CAST(IF(i = 0, 0,
-             |    length(concat_ws(' ', slice(w, 1, i))) + 1) AS INT)
-             |    AS cstart,
-             |  $n AS n)))""".stripMargin).as("g"))
-        .select(col("doc_id"), col("g.idx").as("idx"),
-          col("g.gram").as("gram"), col("g.cstart").as("cstart"),
-          col("g.n").as("n"))
-    }.reduce(_ unionByName _)
+      .withColumn("offs", expr(
+        "aggregate(w, array(0), (acc, x) -> " +
+          "acc || array(element_at(acc, -1) + length(x) + 1))"))
+      .select(col("doc_id"),
+        explode(expr(s"flatten(array($branches))")).as("g"))
+      .select(col("doc_id"), col("g.idx").as("idx"),
+        col("g.gram").as("gram"), col("g.cstart").as("cstart"),
+        col("g.n").as("n"))
     // match on the LOWERCASED gram (the kernel's matcher lowercases
     // tokens before probing gazIndex) but keep the raw surface — the
     // decode's mention text is the original casing
@@ -458,15 +470,18 @@ object Queries7 {
     * column is bit-stable at 4 dp. */
   private def q29(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val c = FitCrf.countStats(FitEval.labeled(s, FitEval.trainPath))
-    val m = FitCrf.weights(c, k = 0.5)
+    // the gated output is a pure function of the bigram counts, so only
+    // the bigram aggregation runs — the featurize/vocab aggregations of
+    // the full countStats are skipped (guide §1.2; OPTIMIZATION_r06.md)
+    val bigram = FitCrf.bigramStats(FitEval.labeled(s, FitEval.trainPath))
+    val trans = FitCrf.transWeights(bigram, k = 0.5)
     val names = (Dict.tags :+ "START") :+ "END"
     val rows = for {
       i <- 0 until Crf.K + 2
       j <- 0 until Crf.K + 2
       if !Crf.walls(i)(j)
-    } yield (names(i), names(j), c.bigram(i)(j),
-      java.math.BigDecimal.valueOf(m.trans(i)(j).toDouble)
+    } yield (names(i), names(j), bigram(i)(j),
+      java.math.BigDecimal.valueOf(trans(i)(j).toDouble)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
     rows.toDF("from_tag", "to_tag", "n", "w")
       .orderBy("from_tag", "to_tag")

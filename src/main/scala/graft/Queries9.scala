@@ -138,8 +138,8 @@ object Queries9 {
     * relationally, exactly like the eng q58. */
   private def q69(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = graft.core.LangDict.loadGaz(graft.core.LangDict.gazCsvRows())
-    val eligible = Queries8.eligibleLangSents(g)
+    val g = graft.crf.LangModel.refGaz
+    val eligible = Queries8.eligibleLangSentsCached
     Seq("tir", "orm").map { lang =>
       val files = eligible.collect { case (`lang`, sid, toks) =>
         graft.core.SourceFile(lang, f"$lang/$sid%05d.txt", "c0", lang,
@@ -196,29 +196,65 @@ object Queries9 {
     * oracle's `lent`/`lmatch`/`ibad` CTEs. */
   private[graft] def insertionEligible(
       g: Map[String, graft.core.LangDict.Gaz], lang: String,
+      toks: Array[String], maxN: Int = 5): Boolean =
+    insertionEligibleIdx(Queries8.entryIndex(g, lang),
+      graft.crf.LangModel.lookupTable(g(lang)),
+      graft.crf.LangModel.lookupIndex(g(lang)), toks, maxN)
+
+  /** [[insertionEligible]] with the per-language tables prebuilt —
+    * round 5 rebuilt the full lookup table AND rescanned every lookup
+    * key per SENTENCE (O(sents × keys × len) driver CPU, the q70
+    * wall); the lower-case sliding scan now probes
+    * [[graft.crf.LangModel.lookupIndex]]'s first-token buckets —
+    * identical match set (index = lookup keys split and grouped by
+    * first token; loadGaz guarantees non-empty entries). */
+  private def insertionEligibleIdx(
+      entryIdx: Map[String, Vector[(Vector[String], String)]],
+      lookup: Map[String, String],
+      lookupIdx: Map[String, Vector[(Vector[String], String)]],
       toks: Array[String], maxN: Int = 5): Boolean = {
-    val orig = Queries8.slidingMatches(g, lang, toks)
-    val lookup = graft.crf.LangModel.lookupTable(g(lang))
+    val orig = Queries8.slidingMatchesIdx(entryIdx, toks)
     val lo = toks.map(_.toLowerCase(java.util.Locale.ROOT))
     val origOk = orig.forall { case (i, n, label) =>
       n <= maxN &&
         lookup.get(lo.slice(i, i + n).mkString(" ")).contains(label)
     }
     val lowerMatches: Set[(Int, Int)] = (for {
-      key <- lookup.keysIterator
-      e = key.split(' ')
-      i <- 0 to lo.length - e.length
-      if lo.slice(i, i + e.length).sameElements(e)
-    } yield (i, e.length)).toSet
+      i <- (0 until lo.length).iterator
+      (etoks, _) <- lookupIdx.getOrElse(lo(i), Vector.empty).iterator
+      if i + etoks.length <= lo.length && {
+        var k = 1; var ok = true
+        while (ok && k < etoks.length) {
+          ok = lo(i + k) == etoks(k); k += 1
+        }
+        ok
+      }
+    } yield (i, etoks.length)).toSet
     origOk && lowerMatches == orig.map { case (i, n, _) => (i, n) }
   }
 
   private[graft] def insertionEligibleSents(
       g: Map[String, graft.core.LangDict.Gaz])
-      : Seq[(String, Int, Array[String])] =
-    Queries8.eligibleLangSents(g).filter { case (lang, _, toks) =>
-      insertionEligible(g, lang, toks)
+      : Seq[(String, Int, Array[String])] = {
+    val tabs = Seq("tir", "orm").map { l =>
+      l -> ((Queries8.entryIndex(g, l),
+        graft.crf.LangModel.lookupTable(g(l)),
+        graft.crf.LangModel.lookupIndex(g(l))))
+    }.toMap
+    val base =
+      if (g eq graft.crf.LangModel.refGaz) Queries8.eligibleLangSentsCached
+      else Queries8.eligibleLangSents(g)
+    base.filter { case (lang, _, toks) =>
+      val (ei, lt, li) = tabs(lang)
+      insertionEligibleIdx(ei, lt, li, toks)
     }
+  }
+
+  /** Per-JVM memo on the canonical gaz (see
+    * [[Queries8.eligibleLangSentsCached]]). */
+  private[graft] lazy val insertionEligibleSentsCached
+      : Seq[(String, Int, Array[String])] =
+    insertionEligibleSents(graft.crf.LangModel.refGaz)
 
   /** The REAL [[graft.postprocess.PostProcess.insertFromLookup]] with
     * the LANGUAGE's lookup tables ([[graft.crf.LangModel.lookupIndex]])
@@ -229,8 +265,8 @@ object Queries9 {
     * and the restore identity relationally. */
   private def q70(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = graft.core.LangDict.loadGaz(graft.core.LangDict.gazCsvRows())
-    val eligible = insertionEligibleSents(g)
+    val g = graft.crf.LangModel.refGaz
+    val eligible = insertionEligibleSentsCached
     Seq("tir", "orm").map { lang =>
       val files = eligible.collect { case (`lang`, sid, toks) =>
         graft.core.SourceFile(lang, f"$lang/$sid%05d.txt", "c0", lang,
@@ -328,13 +364,13 @@ object Queries9 {
     * recomputes the vocab relationally, so the parquet round-trip
     * must preserve every value and type. */
   private def q72(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_q72").toString
-    val vocab = s.read.parquet(s"$dir/documents.parquet")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .distinct()
-      .withColumn("id", row_number().over(Window.orderBy("word")))
+    val root = graft.core.TempDirs.create("graft_q72")
+    // scale-safe id assignment — same contiguous sorted ids as the old
+    // single-partition row_number window, via Queries.vocabIds
+    // (range sort + per-partition offsets; r5 verdict #3)
+    val vocab = Queries.vocabIds(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("word")))
     graft.io.TableIO.writeStage(vocab, root, "vocab", "q72-snap")
     graft.io.TableIO
       .writeStage(vocab.limit(0), root, "vocab", "q72-snap")
@@ -358,8 +394,7 @@ object Queries9 {
     * breaks the hash. */
   private def q73(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q73").toString + "/model"
+    val path = graft.core.TempDirs.create("graft_q73") + "/model"
     graft.io.ModelIO.save(s,
       Ensemble.Model(Crf.emissionWeights, Crf.transitions), path)
     val m = graft.io.ModelIO.load(s, path)

@@ -172,24 +172,54 @@ object ConllOps {
           .as("used_fallback"))
   }
 
-  /** File-scale CoNLL scan → whole sentences: textFile + zipWithIndex
-    * pins line order (zipWithIndex is split-order stable), the oracled
-    * [[conllScan]] sessionizes, and a groupBy collects each sentence's
-    * ordered token/tag arrays. The sessionizer window is per-file
-    * single-partition by nature (line order is a file-local notion);
-    * corpus-scale inputs arrive as MANY files and parallelize by file.
-    * DOCSTART separator lines are kept as 1-token O sentences, exactly
-    * as the reference loader does (data_loader.py:243-258 has no
-    * special case). */
+  /** File-scale CoNLL scan → whole sentences, scale-safe (r6): the
+    * round-5 shape routed the whole file through [[conllScan]]'s
+    * single-partition sessionizer window (219k rows in ONE task on
+    * eng.train, and a straight scale-killer on a bigger file). The
+    * sessionizer is a running blank count, so it decomposes into the
+    * classic two-pass prefix sum: pass 1 counts blanks/lines per
+    * split (a tiny collect), pass 2 stamps each line's sentId =
+    * blanks-before from its split's offset — no global window, no
+    * zipWithIndex job, line order pinned by textFile's split-order
+    * stability. Output is identical to the old path (same sentIds,
+    * same per-sentence token order via the lineno sort): sentences
+    * that span a split boundary are stitched by the groupBy.
+    * DOCSTART separator lines are kept as 1-token O sentences,
+    * exactly as the reference loader does (data_loader.py:243-258
+    * has no special case). */
   def conllFileSentences(spark: SparkSession, path: String)
       : org.apache.spark.sql.Dataset[ConllSentence] = {
     import spark.implicits._
-    val lines = spark.sparkContext.textFile(path).zipWithIndex()
-      .map { case (l, i) => (i, l) }.toDF("lineno", "line")
-    conllScan(lines)
-      .groupBy("sentId")
+    val lines = spark.sparkContext.textFile(path)
+    // pass 1: per-split (blank count, line count) → prefix offsets
+    val counts = lines.mapPartitionsWithIndex { (pid, it) =>
+      var blanks = 0L; var n = 0L
+      it.foreach { l => if (l.trim.isEmpty) blanks += 1; n += 1 }
+      Iterator.single((pid, blanks, n))
+    }.collect().sortBy(_._1)
+    val blankOff = counts.scanLeft(0L)(_ + _._2)
+    val lineOff = counts.scanLeft(0L)(_ + _._3)
+    val bOff = spark.sparkContext.broadcast((blankOff, lineOff))
+    // pass 2: sentId = blanks strictly before the line (the window's
+    // running sum over isBlank, filter isBlank == 0 — same ids);
+    // reference reads fields[0] and fields[-1] (data_loader.py:94-96)
+    val toks = lines.mapPartitionsWithIndex { (pid, it) =>
+      val (bo, lo) = bOff.value
+      var sent = bo(pid)
+      var lineno = lo(pid)
+      it.flatMap { l =>
+        val t = l.trim
+        lineno += 1
+        if (t.isEmpty) { sent += 1; Iterator.empty }
+        else {
+          val f = t.split("\\s+")
+          Iterator.single((sent, lineno, f(0), f(f.length - 1)))
+        }
+      }
+    }.toDF("sentId", "lineno", "word", "tag")
+    toks.groupBy("sentId")
       .agg(sort_array(collect_list(
-        struct(col("tokenIdx"), col("word"), col("tag")))).as("arr"))
+        struct(col("lineno"), col("word"), col("tag")))).as("arr"))
       .select(col("sentId"),
         expr("transform(arr, x -> x.word)").as("words"),
         expr("transform(arr, x -> x.tag)").as("tags"))

@@ -129,6 +129,20 @@ object FitCrf {
     }
 
     // (c) tag bigrams including the virtual START/END boundaries
+    val bigram = bigramStats(data)
+
+    Counts(n, tagCount, featCount, vocab, shapeTag, rareTag, bigram)
+  }
+
+  /** Bigram counts alone (section (c) of [[countStats]]): one narrow
+    * flatMap + one map-side-combined aggregate — no featurization, no
+    * vocabulary aggregations. The transition-fit gate (q29) consumes
+    * ONLY this matrix, so computing it directly skips ~3/4 of
+    * countStats' work (guide §1.2: don't compute what you throw
+    * away). */
+  def bigramStats(data: Dataset[TaggedTokens]): Array[Array[Long]] = {
+    val spark = data.sparkSession
+    import spark.implicits._
     val bigRows = data.flatMap { s =>
       val t = s.tags
       if (t.isEmpty) Iterator.empty
@@ -139,8 +153,7 @@ object FitCrf {
       .agg(count(lit(1)).as("c")).collect()
     val bigram = Array.ofDim[Long](N2, N2)
     bigRows.foreach(r => bigram(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-
-    Counts(n, tagCount, featCount, vocab, shapeTag, rareTag, bigram)
+    bigram
   }
 
   private def shapeCol(mask: org.apache.spark.sql.Column) =
@@ -233,24 +246,30 @@ object FitCrf {
       logOdds(c.rareTag(t), math.max(rareN, 1L),
         c.rareTag.sum - c.rareTag(t), math.max(rareN, 1L), k)
     }
-    // transitions: log P(to | from) over legal targets, reference wall
-    // structure pinned regardless of counts (decoders.py:17-25, 48-58).
-    // Dict.walls, not Crf.walls: this path runs inside
-    // DefaultModel.fitted, which Crf's own lazy weights call into —
-    // touching Crf here would re-create the init cycle.
-    val trans = Array.tabulate(N2, N2) { (i, j) =>
+    FittedModel(featW, wordW, shapeW, shapeDefault,
+      transWeights(c.bigram, k), lambda)
+  }
+
+  /** Transition block from bigram counts: log P(to | from) over legal
+    * targets, reference wall structure pinned regardless of counts
+    * (decoders.py:17-25, 48-58). Dict.walls, not Crf.walls: this path
+    * runs inside DefaultModel.fitted, which Crf's own lazy weights
+    * call into — touching Crf here would re-create the init cycle.
+    * Factored out of [[weights]] so the transition-only gate (q29) can
+    * pair it with [[bigramStats]] without the full fit. */
+  def transWeights(bigram: Array[Array[Long]], k: Double)
+      : Array[Array[Float]] =
+    Array.tabulate(N2, N2) { (i, j) =>
       if (Dict.walls(i)(j)) WALL
       else {
-        val row = (0 until N2).map(c.bigram(i)(_)).sum
+        val row = (0 until N2).map(bigram(i)(_)).sum
         // add-k over the LEGAL (non-walled) targets of this row only,
         // so each row is a normalized log P(to|from): walls remove a
         // per-row-varying number of targets (e.g. the 4 I-tags from O)
         val legal = (0 until N2).count(j2 => !Dict.walls(i)(j2))
-        math.log((c.bigram(i)(j) + k) / (row + k * legal)).toFloat
+        math.log((bigram(i)(j) + k) / (row + k * legal)).toFloat
       }
     }
-    FittedModel(featW, wordW, shapeW, shapeDefault, trans, lambda)
-  }
 
   /** fit = count → weights, distributed. */
   def fit(data: Dataset[TaggedTokens], k: Double = 0.5,

@@ -37,30 +37,57 @@ object StreamOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Gap-based sessionization with explicit state
-    * (mapGroupsWithState + processing-time timeout): the streaming
-    * twin of the batch lag-window sessionizer (Queries q09). Emits the
-    * running session per user on every trigger. */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800)
-      : Dataset[UserSession] = {
+  /** Gap-based sessionization with explicit BOUNDED state
+    * (flatMapGroupsWithState + event-time timeout): the streaming twin
+    * of the batch lag-window sessionizer (Queries q09). Emits the
+    * running session per user on every trigger.
+    *
+    * State hygiene (r5 verdict #4): the round-5 version used
+    * `NoTimeout` — per-user state lived forever, so the state store
+    * grew without bound on a real stream. Now the input is watermarked
+    * (`lateness` delay) and each state row carries an event-time
+    * timeout at `last_ts + gapSec`: once the watermark passes the gap
+    * horizon the session can never continue (any event that would was
+    * already late-dropped), so the state row is removed on timeout —
+    * state size is bounded by the count of users ACTIVE within the
+    * gap+lateness horizon, at any stream rate. Emitted rows are
+    * unchanged (timeouts emit nothing; StreamingSpec pins both the
+    * per-trigger outputs and the state-row drop). */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+      lateness: String = "10 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, batch: Iterator[Event],
          state: GroupState[UserSession]) => {
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption.getOrElse(
-            UserSession(userId, 0L, Long.MaxValue, Long.MinValue))
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            cur =
-              if (cur.n_events == 0 || t - cur.last_ts > gapSec)
-                UserSession(userId, 1L, t, t) // new session
-              else cur.copy(n_events = cur.n_events + 1, last_ts = t)
+          if (state.hasTimedOut) {
+            // watermark passed last_ts + gap: the session is closed and
+            // no in-watermark event can extend it — drop the state row
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption.getOrElse(
+              UserSession(userId, 0L, Long.MaxValue, Long.MinValue))
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur =
+                if (cur.n_events == 0 || t - cur.last_ts > gapSec)
+                  UserSession(userId, 1L, t, t) // new session
+                else cur.copy(n_events = cur.n_events + 1, last_ts = t)
+            }
+            state.update(cur)
+            // expire when the watermark passes the gap horizon; clamp
+            // above the current watermark (setting a timeout at/before
+            // the watermark is an error for an already-expired horizon)
+            state.setTimeoutTimestamp(math.max(
+              (cur.last_ts + gapSec) * 1000L + 1,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.single(cur)
           }
-          state.update(cur)
-          cur
         })
   }
 

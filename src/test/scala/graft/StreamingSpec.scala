@@ -64,6 +64,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize state is bounded: an expired session's state row " +
+      "is dropped once the watermark passes its gap horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessb")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(fixture.take(5): _*) // users 1 and 2 active
+      q.processAllAvailable()
+      assert(spark.table("sessb").select("user_id").distinct().count() == 2)
+      val before = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(before == 2) // one state row per user
+      // minute 300 event for user 1 only: watermark advances to 290min,
+      // far past both sessions' last_ts + 30min gap horizon (~97min).
+      // user 2 must be evicted; user 1's row is the FRESH session.
+      mem.addData(Event(7, ts(300), 1, "click", 7.0))
+      q.processAllAvailable()
+      // one more empty-ish trigger so timeout processing (driven by the
+      // watermark advanced at the END of the previous trigger) runs
+      mem.addData(Event(8, ts(301), 1, "click", 8.0))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1)
+      // emitted rows unchanged in meaning: user 1's last session runs
+      val u1 = spark.table("sessb").filter(col("user_id") === 1)
+        .orderBy(desc("last_ts")).collect().head
+      assert(u1.getLong(1) == 2L) // minute 300+301 events, one session
+    } finally q.stop()
+  }
+
   test("streaming mention detection == batch kernel on the same files") {
     val s = spark
     import s.implicits._
