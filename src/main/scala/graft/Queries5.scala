@@ -215,8 +215,8 @@ object Queries5 {
   // ---- embedding-cosine near-dup + IVF ANN -----------------------------
 
   private def q45(s: SparkSession, dir: String): DataFrame =
-    graft.vectors.VectorOps.cosineNearDup(
-      s.read.parquet(s"$dir/embeddings.parquet"), 0.4)
+    graft.vectors.VectorOps.cosineNearDupOnUnits(
+      Queries3.unitV(s, dir), 0.4)
       .orderBy("id_a", "id_b")
 
   private val o45 =
@@ -241,8 +241,9 @@ object Queries5 {
   /** IVF ANN — rows-only (parity vs brute force asserted in
     * VectorOpsSpec for shared-cell neighbors). */
   private def q46(s: SparkSession, dir: String): DataFrame =
-    graft.vectors.VectorOps.ivfNeighbors(
-      s.read.parquet(s"$dir/embeddings.parquet"))
+    graft.vectors.VectorOps.ivfNeighborsOnUnits(
+      s.read.parquet(s"$dir/embeddings.parquet"),
+      Queries3.unitV(s, dir))
       .orderBy("id_a", "rk")
 
   /** Oracle for IVF ANN — possible since the coarse quantizer rounds

@@ -180,6 +180,42 @@ object Components {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Closed-form components of a STAR FOREST (r6): when every `src`
+    * node carries exactly one edge and `dst` nodes never appear as a
+    * `src` (self-loops allowed) — the exact shape of the linker's
+    * mention↔entity graph — a component is one `dst` group, and its
+    * label is min(dst, min(src over the group)). One map-side-combined
+    * aggregation + one (AQE-broadcastable) join replaces the generic
+    * loop's symmetrize-distinct + 2 × (join + groupBy) + three
+    * localCheckpoint materializations: same labels (min reachable id),
+    * ~6 fewer jobs per call. Callers must guarantee the shape — the
+    * generic [[connectedComponents]] stays the arbitrary-graph path,
+    * and ComponentsSpec pins equality on star fixtures. */
+  def starComponents(edges: DataFrame): DataFrame = {
+    val comp = edges.groupBy("dst")
+      .agg(least(min(col("src")), first(col("dst"))).as("component"))
+    val leaves = edges.join(comp, "dst")
+      .select(col("src").as("id"), col("component"))
+    val centers = comp.select(col("dst").as("id"), col("component"))
+    // a self-loop contributes its node as both leaf and center (same
+    // label) — collapse to the generic contract's one row per id
+    leaves.unionByName(centers)
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** [[stringComponents]] over a star forest (see [[starComponents]]
+    * for the shape contract). */
+  def stringStarComponents(spark: SparkSession, edgePairs: DataFrame)
+      : DataFrame = {
+    val e = edgePairs.select(
+      xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+    val comps = starComponents(e)
+    val nodes = edgePairs.select(col("a").as("node"))
+      .union(edgePairs.select(col("b").as("node"))).distinct()
+      .withColumn("id", xxhash64(col("node")))
+    nodes.join(comps, "id").select(col("node"), col("component"))
+  }
+
   /** Map arbitrary string node ids to stable Longs (xxhash64 — 64-bit
     * collision odds negligible at any realistic node count) and back. */
   def stringComponents(spark: SparkSession, edgePairs: DataFrame,

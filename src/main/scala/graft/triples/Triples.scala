@@ -55,11 +55,12 @@ object Triples {
         concat(lit("e:"), col("entityId"))).otherwise(col("node"))
         .as("b"))
     // the link graph is bipartite stars by construction (every mention
-    // node has exactly one edge: to its entity node, or a self-loop) —
-    // diameter 2, so exactly 2 propagation rounds suffice and the
-    // convergence-count jobs are skipped
-    val comps = Components.stringComponents(spark, nodes,
-      exactRounds = Some(2))
+    // node has exactly one edge: to its entity node, or a self-loop;
+    // entity nodes are never a source) — components have the closed
+    // form min-over-star, so the iterative propagation (r5: 2 rounds +
+    // 3 checkpoint materializations) collapses to one aggregation +
+    // one join (Components.starComponents; same labels, spec-pinned)
+    val comps = Components.stringStarComponents(spark, nodes)
     // canonical subject = lexicographically-min node string of the
     // component (stable across runs and partitionings, unlike raw
     // hash ids)

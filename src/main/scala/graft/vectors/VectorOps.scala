@@ -75,10 +75,19 @@ object VectorOps {
     * relational twin both confirm. Valid under exactly the same
     * precondition as the broadcast in [[bruteForceTopK]] — |V|·d
     * doubles must fit one executor; past that, LSH/IVF. */
-  def bruteForceTopKKernel(emb: DataFrame, k: Int = 5): DataFrame = {
-    val spark = emb.sparkSession
+  def bruteForceTopKKernel(emb: DataFrame, k: Int = 5): DataFrame =
+    bruteForceTopKKernelOnUnits(
+      withUnitVec(emb).select(col("vec_id"), col("unit")), k)
+
+  /** [[bruteForceTopKKernel]] over a prebuilt (vec_id, unit) frame —
+    * the r6 query gate derives the unit vectors ONCE per session
+    * (Queries3.unitV) and feeds all four vector operators, instead of
+    * each re-scanning and re-normalizing the embeddings table. */
+  def bruteForceTopKKernelOnUnits(units: DataFrame, k: Int = 5)
+      : DataFrame = {
+    val spark = units.sparkSession
     import spark.implicits._
-    val u = withUnitVec(emb).select(col("vec_id"), col("unit"))
+    val u = units.select(col("vec_id"), col("unit"))
       .as[(Long, Seq[Double])]
     val all: Array[(Long, Array[Double])] =
       u.collect().map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
@@ -161,11 +170,17 @@ object VectorOps {
     * O(|V|·bucket) not O(|V|²); at 100 TB the bucket join partitions
     * by signature and never materializes the full cross product. */
   def lshNeighbors(emb: DataFrame, planes: Int = 6, k: Int = 5)
+      : DataFrame =
+    lshNeighborsOnUnits(
+      withUnitVec(emb).select(col("vec_id"), col("unit"))
+        .localCheckpoint(true), planes, k)
+
+  /** [[lshNeighbors]] over a prebuilt, already-materialized
+    * (vec_id, unit) frame (see [[bruteForceTopKKernelOnUnits]]). */
+  def lshNeighborsOnUnits(units: DataFrame, planes: Int = 6, k: Int = 5)
       : DataFrame = {
-    val u = withUnitVec(emb)
-      .select(col("vec_id"), col("unit"))
+    val u = units.select(col("vec_id"), col("unit"))
       .withColumn("sig", hyperplaneSignature(col("unit"), planes))
-      .localCheckpoint(true)
     val a = u.select(col("vec_id").as("id_a"), col("unit").as("ua"),
       col("sig"))
     val b = u.select(col("vec_id").as("id_b"), col("unit").as("ub"),
@@ -184,9 +199,16 @@ object VectorOps {
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine ≥ threshold. Exact baseline for the dedup suite's
     * embedding modality (LSH/IVF are the scale paths). */
-  def cosineNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val u = withUnitVec(emb).select(col("vec_id"), col("unit"))
-      .localCheckpoint(true)
+  def cosineNearDup(emb: DataFrame, threshold: Double): DataFrame =
+    cosineNearDupOnUnits(
+      withUnitVec(emb).select(col("vec_id"), col("unit"))
+        .localCheckpoint(true), threshold)
+
+  /** [[cosineNearDup]] over a prebuilt, already-materialized
+    * (vec_id, unit) frame (see [[bruteForceTopKKernelOnUnits]]). */
+  def cosineNearDupOnUnits(units: DataFrame, threshold: Double)
+      : DataFrame = {
+    val u = units.select(col("vec_id"), col("unit"))
     // same probe-side spread as bruteForceTopK: BNLJ parallelism =
     // probe partitions
     val a = u.repartition(u.sparkSession.sparkContext.defaultParallelism)
@@ -204,7 +226,14 @@ object VectorOps {
     * the centroid id, so cost is O(|V|·cell), and at scale the shuffle
     * partitions by cell — the 100 TB path when the broadcast
     * brute-force is impossible. */
-  def ivfNeighbors(emb: DataFrame, k: Int = 5): DataFrame = {
+  def ivfNeighbors(emb: DataFrame, k: Int = 5): DataFrame =
+    ivfNeighborsOnUnits(emb,
+      withUnitVec(emb).select(col("vec_id"), col("unit")), k)
+
+  /** [[ivfNeighbors]] with the unit vectors prebuilt (the centroid
+    * training still reads the raw `emb` frame — it needs `label`). */
+  def ivfNeighborsOnUnits(emb: DataFrame, units: DataFrame, k: Int = 5)
+      : DataFrame = {
     // centroids quantized to 6 dp (HALF_UP): cell assignment then
     // depends on quantized values, shrinking the cross-engine
     // divergence window from every-ulp (raw float means differ by
@@ -221,7 +250,7 @@ object VectorOps {
     val spark = emb.sparkSession
     val bC = spark.sparkContext.broadcast(cents)
     import spark.implicits._
-    val assigned = withUnitVec(emb)
+    val assigned = units
       .select(col("vec_id"), col("unit"))
       .as[(Long, Seq[Double])]
       .mapPartitions { it =>
